@@ -1,0 +1,132 @@
+"""ITU-R BS.1770-4 loudness (LUFS) in pure JAX.
+
+TPU-native replacement for pyloudnorm (reference
+AudioProcessor.meter_loudness :1123, audio_loudness_control :417).
+
+The K-weighting prefilter is two biquads (high-shelf + high-pass).
+IIR recurrences are inherently sequential, so we parallelize them with
+`jax.lax.associative_scan` over 2×2 affine state updates — O(T·log T)
+work but fully parallel on the VPU, instead of a T-step lax.scan.
+
+Gating follows BS.1770-4: 400 ms blocks with 75 % overlap, absolute
+gate at −70 LKFS, relative gate at −10 LU under the absolute-gated
+mean. Data-dependent block selection is done with masks so shapes stay
+static (SURVEY.md §7.4 item 7). Verified against pyloudnorm to <0.1 LU.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=8)
+def _k_weighting_sos(sr: int) -> np.ndarray:
+    """Two biquad sections [b0 b1 b2 a0 a1 a2] of the K-filter at `sr`.
+
+    Analog prototypes from BS.1770 (same derivation pyloudnorm uses),
+    bilinear-transformed for arbitrary sample rate.
+    """
+    # Stage 1: spherical-head high shelf
+    f0, G, Q = 1681.9744509555319, 3.99984385397, 0.7071752369554193
+    K = np.tan(np.pi * f0 / sr)
+    Vh = np.power(10.0, G / 20.0)
+    Vb = np.power(Vh, 0.499666774155)
+    a0_ = 1.0 + K / Q + K * K
+    b_shelf = np.array(
+        [
+            (Vh + Vb * K / Q + K * K) / a0_,
+            2.0 * (K * K - Vh) / a0_,
+            (Vh - Vb * K / Q + K * K) / a0_,
+        ]
+    )
+    a_shelf = np.array([1.0, 2.0 * (K * K - 1.0) / a0_, (1.0 - K / Q + K * K) / a0_])
+    # Stage 2: RLB high-pass
+    f0, Q = 38.13547087602444, 0.5003270373238773
+    K = np.tan(np.pi * f0 / sr)
+    denom = 1.0 + K / Q + K * K
+    b_hp = np.array([1.0, -2.0, 1.0])
+    a_hp = np.array(
+        [1.0, 2.0 * (K * K - 1.0) / denom, (1.0 - K / Q + K * K) / denom]
+    )
+    sos = np.stack(
+        [np.concatenate([b_shelf, a_shelf]), np.concatenate([b_hp, a_hp])]
+    )
+    return sos.astype(np.float64)
+
+
+def biquad_scan(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Apply one biquad (direct form I) via parallel associative scan.
+
+    y[n] = b0 x[n] + b1 x[n-1] + b2 x[n-2] − a1 y[n-1] − a2 y[n-2]
+
+    State v[n] = (y[n], y[n-1]) follows v[n] = A v[n-1] + u[n] with a
+    constant 2×2 A; composing affine maps is associative, so the whole
+    recurrence evaluates in log-depth on the VPU.
+    """
+    x = x.astype(jnp.float32)
+    xm1 = jnp.concatenate([jnp.zeros(1, x.dtype), x[:-1]])
+    xm2 = jnp.concatenate([jnp.zeros(2, x.dtype), x[:-2]])
+    u = b[0] * x + b[1] * xm1 + b[2] * xm2  # feed-forward part, parallel
+    n = x.shape[0]
+    A = jnp.array([[-a[1], -a[2]], [1.0, 0.0]], dtype=x.dtype)
+    As = jnp.broadcast_to(A, (n, 2, 2))
+    us = jnp.stack([u, jnp.zeros_like(u)], axis=-1)
+
+    def combine(left, right):
+        A1, u1 = left
+        A2, u2 = right
+        return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, u1) + u2
+
+    _, vs = jax.lax.associative_scan(combine, (As, us))
+    return vs[:, 0]
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def k_weight(audio: jnp.ndarray, sr: int = 16000) -> jnp.ndarray:
+    """Apply the BS.1770 K-weighting prefilter to (T,) audio."""
+    sos = _k_weighting_sos(sr)
+    y = audio
+    for sec in sos:
+        y = biquad_scan(y, jnp.asarray(sec[:3]), jnp.asarray(sec[3:]))
+    return y.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def integrated_loudness(audio: jnp.ndarray, sr: int = 16000) -> jnp.ndarray:
+    """Gated integrated loudness (LUFS) of mono or (C, T) audio."""
+    x = jnp.atleast_2d(jnp.asarray(audio))  # (C, T)
+    y = jax.vmap(lambda c: k_weight(c, sr))(x)
+    t_g = int(0.4 * sr)  # 400 ms blocks
+    hop = t_g // 4  # 75 % overlap
+    n = y.shape[-1]
+    if n < t_g:  # too short to gate: fall back to full-signal power
+        z = jnp.sum(jnp.mean(jnp.square(y), axis=-1))
+        return -0.691 + 10.0 * jnp.log10(jnp.maximum(z, 1e-12))
+    from .stft import frame_signal
+
+    blocks = frame_signal(y, t_g, hop)  # (C, n_blocks, t_g)
+    z_blocks = jnp.sum(jnp.mean(jnp.square(blocks), axis=-1), axis=0)  # (n_blocks,)
+    l_blocks = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_blocks, 1e-30))
+    abs_mask = l_blocks > -70.0
+    z_abs = jnp.sum(z_blocks * abs_mask) / jnp.maximum(jnp.sum(abs_mask), 1.0)
+    gamma_r = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) - 10.0
+    rel_mask = abs_mask & (l_blocks > gamma_r)
+    z_rel = jnp.sum(z_blocks * rel_mask) / jnp.maximum(jnp.sum(rel_mask), 1.0)
+    loud = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_rel, 1e-30))
+    return jnp.where(jnp.sum(rel_mask) > 0, loud, -jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("sr", "target_lufs"))
+def normalize_loudness(
+    audio: jnp.ndarray, sr: int = 16000, target_lufs: float = -23.0
+) -> jnp.ndarray:
+    """Scale audio to the target integrated loudness
+    (reference audio_loudness_control :417, default −23 LUFS)."""
+    measured = integrated_loudness(audio, sr)
+    gain = jnp.power(10.0, (target_lufs - measured) / 20.0)
+    gain = jnp.where(jnp.isfinite(gain), gain, 1.0)
+    return audio * gain

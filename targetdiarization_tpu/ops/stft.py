@@ -1,0 +1,116 @@
+"""Framed STFT / iSTFT with hann windows and overlap-add (jnp, XLA).
+
+TPU-native replacement for torch.stft/istft and the kernelized STFT in
+the reference (AudioProcessor.py:82-120, look2hear/layers/stft.py:711,
+apollo.py:250-297). Framing is a strided gather that XLA turns into a
+single reshape-friendly copy; the DFT uses XLA's native FFT. All shapes
+are static functions of (length, n_fft, hop), so each configuration
+compiles once.
+
+Conventions (torch.stft-compatible, center=True, reflect pad):
+    stft(x)  -> complex (n_freq, n_frames), n_freq = n_fft//2 + 1
+    istft(S) -> real (length,)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic hann window (matches torch.hann_window default)."""
+    return jnp.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n), dtype=dtype)
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """Slice (..., T) into overlapping frames (..., n_frames, frame_length)."""
+    n = x.shape[-1]
+    n_frames = 1 + (n - frame_length) // hop if n >= frame_length else 0
+    idx = jnp.arange(frame_length)[None, :] + hop * jnp.arange(n_frames)[:, None]
+    return x[..., idx]
+
+
+def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Inverse of frame_signal: (..., n_frames, frame_length) → (..., T).
+
+    Implemented as a scatter-add over static indices (SURVEY.md §5.7's
+    'overlap-add as a jnp scatter-add').
+    """
+    n_frames, frame_length = frames.shape[-2], frames.shape[-1]
+    out_len = (n_frames - 1) * hop + frame_length
+    idx = (jnp.arange(frame_length)[None, :] + hop * jnp.arange(n_frames)[:, None]).reshape(-1)
+    flat = frames.reshape(*frames.shape[:-2], -1)
+
+    def _oa(fr):
+        return jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(fr)
+
+    for _ in range(flat.ndim - 1):
+        _oa = jax.vmap(_oa)
+    return _oa(flat)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center"))
+def stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """STFT of (..., T) → complex (..., n_freq, n_frames)."""
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length)
+    if win_length < n_fft:  # center-pad window to n_fft like torch
+        lp = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lp, n_fft - win_length - lp))
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, pad, mode="reflect")
+    frames = frame_signal(x, n_fft, hop) * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center", "length"))
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """iSTFT of complex (..., n_freq, n_frames) → real (..., T).
+
+    Uses the standard windowed overlap-add with window-square
+    normalization (identical to torch.istft)."""
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length)
+    if win_length < n_fft:
+        lp = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lp, n_fft - win_length - lp))
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window
+    y = overlap_add(frames, hop)
+    n_frames = spec.shape[-1]
+    wsq = overlap_add(
+        jnp.broadcast_to(window * window, (n_frames, n_fft)), hop
+    )
+    y = y / jnp.maximum(wsq, 1e-11)
+    if center:
+        y = y[..., n_fft // 2 :]
+        if length is not None:
+            y = y[..., :length]
+        else:
+            y = y[..., : y.shape[-1] - n_fft // 2]
+    elif length is not None:
+        y = y[..., :length]
+    return y
