@@ -1,0 +1,111 @@
+"""Parameter store: orbax checkpoints with embedded model identity.
+
+TPU-native analogue of the reference's checkpoint-embedded polymorphic
+loading (look2hear/models/base_model.py:52-80 reads `model_name` out of
+the .pth and instantiates that class). Here a checkpoint directory holds
+an orbax pytree plus a `model.json` sidecar with
+{"model_name", "model_args", "framework_version"}; `from_pretrained` in
+registry.py dispatches on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+_SIDECAR = "model.json"
+_NPZ = "params.npz"
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_checkpoint(path: str, params, model_name: str, model_args: dict | None = None):
+    """Serialize params + identity sidecar to `path` (a directory)."""
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "model_name": model_name,
+        "model_args": model_args or {},
+        "framework_version": "0.1.0",
+    }
+    with open(os.path.join(path, _SIDECAR), "w") as f:
+        json.dump(meta, f, indent=2)
+    # npz is the portable default (works everywhere, no async machinery);
+    # large production checkpoints can use orbax via save_checkpoint_orbax.
+    flat = _flatten(jax.device_get(params))
+    np.savez(os.path.join(path, _NPZ), **flat)
+
+
+def load_checkpoint(path: str):
+    """Returns (params_pytree, meta_dict)."""
+    with open(os.path.join(path, _SIDECAR)) as f:
+        meta = json.load(f)
+    npz_path = os.path.join(path, _NPZ)
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            params = _unflatten({k: z[k] for k in z.files})
+        return params, meta
+    if _HAS_ORBAX:  # orbax layout fallback
+        ckpt = ocp.StandardCheckpointer()
+        params = ckpt.restore(os.path.join(path, "orbax"))
+        return params, meta
+    raise FileNotFoundError(f"no params found under {path}")
+
+
+def save_checkpoint_orbax(path: str, params, model_name: str, model_args=None):
+    """Orbax save path for large sharded checkpoints."""
+    if not _HAS_ORBAX:
+        raise RuntimeError("orbax not available")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _SIDECAR), "w") as f:
+        json.dump(
+            {"model_name": model_name, "model_args": model_args or {},
+             "framework_version": "0.1.0"},
+            f,
+        )
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.join(os.path.abspath(path), "orbax"), jax.device_get(params))
+    ckpt.wait_until_finished()
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def tree_cast(params, dtype):
+    """Cast all floating leaves to dtype (e.g. bf16 for inference)."""
+    def _cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_cast, params)
