@@ -1,0 +1,282 @@
+"""Diarization engines: sliding-window clustering + overlap segmentation.
+
+TPU-native replacements for the two diarizers the reference composes
+(SURVEY.md §2.5):
+
+- modelscope CAM++ speaker-diarization pipeline (TargetDiarization.py:73-77,
+  used for audio ≥30 s): VAD → sliding sub-windows → speaker embeddings →
+  clustering → labeled segments. Here: `ClusterDiarizer`, built on our
+  CAM++/ERes2NetV2 SpeakerEngine with one batched bucketed embedding
+  forward for ALL windows (the reference loops per window).
+- pyannote speaker-diarization-3.1 (TargetDiarization.py:84-87, used for
+  short audio and overlap detection): frame-level multi-speaker activity
+  model + clustering. Here: `SegmentationNet`, a conv + transformer
+  frame-labeller with K speaker slots and sigmoid multilabel output —
+  attention instead of pyannote's BiLSTM because static-shape attention
+  maps onto the MXU (SURVEY.md §7.1 design stance).
+
+Clustering runs host-side on tiny N (sklearn AHC/spectral), matching the
+survey's host/device split (§7.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.buckets import BucketLadder, pad_to
+from ..runtime.registry import register_model
+from . import features
+from ..pipeline import intervals as iv
+from .vad import VADConfig, segment_probs
+
+
+# ---------------- segmentation model (overlap + short-audio diarization) ----------------
+
+
+class TransformerBlock(nn.Module):
+    dim: int = 128
+    heads: int = 4
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, T, D); mask: (B, T)
+        attn_mask = mask[:, None, None, :] > 0  # (B, 1, 1, T) key mask
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim, name="attn"
+        )(h, h, mask=attn_mask)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim * self.ff_mult)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim)(h)
+        return (x + h) * mask[..., None]
+
+
+@register_model(name="SegmentationNet")
+class SegmentationNet(nn.Module):
+    """Frame-level speaker-activity model with `max_speakers` slots.
+
+    fbank (B, T, 80) → strided conv stack (×4 time downsample, 40 ms
+    frames) → transformer encoder → per-frame sigmoid activations
+    (B, T//4, K). Overlap = ≥2 slots active; short-audio diarization =
+    per-slot segments (slot identity is consistent within one window).
+    """
+
+    feat_dim: int = 80
+    dim: int = 128
+    n_layers: int = 2
+    heads: int = 4
+    max_speakers: int = 3
+    downsample: int = 4
+
+    @nn.compact
+    def __call__(self, feats, lengths):
+        b, t, f = feats.shape
+        mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(feats.dtype)
+        x = feats * mask[..., None]
+        x = nn.Conv(self.dim, (5,), strides=(2,), name="conv1")(x)
+        x = nn.gelu(x)
+        x = nn.Conv(self.dim, (5,), strides=(self.downsample // 2,), name="conv2")(x)
+        x = nn.gelu(x)
+        t2 = x.shape[1]
+        m2 = (jnp.arange(t2)[None, :] < jnp.maximum(lengths // self.downsample, 1)[:, None]).astype(x.dtype)
+        # sinusoidal positions
+        pos = jnp.arange(t2)[:, None] / (
+            10000.0 ** (jnp.arange(self.dim // 2)[None, :] * 2 / self.dim)
+        )
+        pe = jnp.concatenate([jnp.sin(pos), jnp.cos(pos)], axis=-1)
+        x = x + pe[None]
+        for i in range(self.n_layers):
+            x = TransformerBlock(dim=self.dim, heads=self.heads, name=f"layer_{i}")(x, m2)
+        logits = nn.Dense(self.max_speakers, name="head")(x)
+        return jax.nn.sigmoid(logits) * m2[..., None]  # (B, T', K)
+
+
+_SEG_LADDER = BucketLadder(tuple(int(s * 100) for s in (1, 2, 4, 8, 16, 30)))
+
+
+@dataclass
+class BinarizeConfig:
+    onset: float = 0.5
+    offset: float = 0.35
+    min_duration_on: float = 0.2
+    min_duration_off: float = 0.3
+
+
+class SegmentationEngine:
+    """pyannote-equivalent: activations, per-slot diarization, overlap."""
+
+    def __init__(self, params=None, model: SegmentationNet | None = None, seed: int = 0):
+        self.model = model or SegmentationNet()
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, 100, self.model.feat_dim)),
+                jnp.array([100]),
+            )
+        self.params = params
+        self._apply = jax.jit(lambda p, f, l: self.model.apply(p, f, l))
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "SegmentationEngine":
+        from ..runtime.registry import from_pretrained
+
+        model, params = from_pretrained(path)
+        return cls(params=params, model=model)
+
+    @property
+    def fps(self) -> float:
+        return 100.0 / self.model.downsample
+
+    def activations(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
+        """(T', K) per-slot speech activity in [0,1] at `self.fps`."""
+        audio = np.asarray(audio, np.float32)
+        feats = np.asarray(features.fbank(jnp.asarray(audio), sr=sr))
+        t = feats.shape[0]
+        if t == 0:
+            return np.zeros((0, self.model.max_speakers), np.float32)
+        bucket = _SEG_LADDER.bucket(t)
+        padded = pad_to(feats, bucket, axis=0)[None]
+        act = self._apply(self.params, jnp.asarray(padded), jnp.array([t]))
+        t_out = max(t // self.model.downsample, 1)
+        return np.asarray(act[0, :t_out])
+
+    def diarize(self, audio: np.ndarray, sr: int = 16000,
+                cfg: BinarizeConfig | None = None) -> dict:
+        """sd_result {slot: [(s,e), ...]} from one window (audio ≤30 s)."""
+        cfg = cfg or BinarizeConfig()
+        act = self.activations(audio, sr=sr)
+        vcfg = VADConfig(
+            threshold_on=cfg.onset,
+            threshold_off=cfg.offset,
+            max_end_silence_time=cfg.min_duration_off,
+            min_speech_duration=cfg.min_duration_on,
+            speech_pad=0.0,
+        )
+        result = {}
+        for k in range(act.shape[1]):
+            segs = segment_probs(act[:, k], vcfg, fps=self.fps)
+            if segs:
+                result[str(k)] = [(round(s, 3), round(e, 3)) for s, e in segs]
+        return result
+
+    def detect_overlap(self, audio: np.ndarray, sr: int = 16000,
+                       min_overlap_sec: float = 0.4) -> dict:
+        """od_result {'a-b': [(s,e)...]} of pairwise overlapping speech."""
+        return iv.get_speaker_overlap(
+            self.diarize(audio, sr=sr), min_overlap_sec=min_overlap_sec
+        )
+
+    def is_overlap(self, audio: np.ndarray, sr: int = 16000) -> bool:
+        """Streaming helper: any two slots simultaneously active
+        (reference TargetDiarizationStream.py:175-179)."""
+        return bool(self.detect_overlap(audio, sr=sr))
+
+
+# ---------------- sliding-window cluster diarizer (CAM++ pipeline) ----------------
+
+
+@dataclass
+class DiarizeConfig:
+    window: float = 1.5  # s, embedding sub-window
+    hop: float = 0.75
+    min_window: float = 0.5  # drop shorter tails
+    clustering_threshold: float = 0.6  # cosine distance for AHC
+    min_segment: float = 0.3
+
+
+class ClusterDiarizer:
+    """VAD → sliding windows → batched embeddings → AHC/spectral cluster.
+
+    Output format matches the reference's parsed CAM++ result
+    ({'0': [(s,e)...], ...}, labels as stringified ints ordered by first
+    appearance — TargetDiarization.py:185-225).
+    """
+
+    def __init__(self, speaker_engine, vad_engine=None, cfg: DiarizeConfig | None = None):
+        self.spk = speaker_engine
+        self.vad = vad_engine
+        self.cfg = cfg or DiarizeConfig()
+
+    def _windows(self, speech_segs: list, duration: float) -> list:
+        win, hop = self.cfg.window, self.cfg.hop
+        out = []
+        for s, e in speech_segs:
+            t = s
+            while t < e:
+                w_end = min(t + win, e)
+                if w_end - t >= self.cfg.min_window or not out:
+                    out.append((t, w_end))
+                t += hop
+                if w_end >= e:
+                    break
+        return out
+
+    def _cluster(self, embs: np.ndarray, n_speakers: int | None) -> np.ndarray:
+        from sklearn.cluster import AgglomerativeClustering
+
+        if len(embs) == 1:
+            return np.zeros(1, np.int64)
+        norm = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-9)
+        if n_speakers is not None and n_speakers >= 1:
+            n = min(n_speakers, len(embs))
+            model = AgglomerativeClustering(n_clusters=n, metric="cosine", linkage="average")
+        else:
+            model = AgglomerativeClustering(
+                n_clusters=None,
+                distance_threshold=self.cfg.clustering_threshold,
+                metric="cosine",
+                linkage="average",
+            )
+        return model.fit_predict(norm)
+
+    def diarize(self, audio: np.ndarray, sr: int = 16000,
+                n_speakers: int | None = None) -> dict:
+        audio = np.asarray(audio, np.float32)
+        duration = len(audio) / sr
+        if self.vad is not None:
+            speech = self.vad.vad_detection(audio, sr=sr)
+        else:
+            speech = [[0.0, duration]]
+        if not speech:
+            return {}
+        wins = self._windows(speech, duration)
+        if not wins:
+            return {}
+        clips = [audio[int(s * sr): int(e * sr)] for s, e in wins]
+        embs = self.spk.embed_batch(clips, sr=sr)
+        valid = np.linalg.norm(embs, axis=1) > 0
+        wins = [w for w, v in zip(wins, valid) if v]
+        embs = embs[valid]
+        if len(embs) == 0:
+            return {}
+        labels = self._cluster(embs, n_speakers)
+        # window labels → segments: split at label changes, boundaries at
+        # window midpoints; relabel by first appearance to '0','1',...
+        segments = []
+        cur_label, cur_start, cur_end = None, None, None
+        for (s, e), lab in zip(wins, labels):
+            if lab == cur_label and s <= cur_end:
+                cur_end = e
+            else:
+                if cur_label is not None:
+                    boundary = min(cur_end, s + (cur_end - s) / 2) if s < cur_end else cur_end
+                    segments.append([cur_start, boundary, cur_label])
+                    cur_start = boundary if s < boundary else s
+                else:
+                    cur_start = s
+                cur_label, cur_end = lab, e
+        if cur_label is not None:
+            segments.append([cur_start, cur_end, cur_label])
+        remap: dict = {}
+        for seg in segments:
+            seg[2] = remap.setdefault(seg[2], len(remap))
+        segments = [s for s in segments if (s[1] - s[0]) >= self.cfg.min_segment]
+        return iv.parse_segments(segments)
