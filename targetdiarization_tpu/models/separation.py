@@ -1,0 +1,457 @@
+"""MossFormer2 speech separation, TPU-native.
+
+Re-implementation of the reference's production separator
+(look2hear/models/mossformer2.py:525, mossformer_block.py:143) designed
+for XLA/TPU rather than translated from torch:
+
+- (B, T, C) time-major layout end to end — no permute churn; every
+  pointwise op fuses into the surrounding matmuls.
+- FLASH shared-A gated attention (mossformer_block.py:222-294 semantics):
+  quadratic relu² attention inside static groups of `group_size` frames
+  plus a global linear-attention term, sharing one attention matrix for
+  the u and v branches. Group count is a static function of the time
+  bucket, so the whole 24-block stack compiles to one XLA program per
+  bucket; the grouped quadratic part is a batched (G, n, d)×(G, d, n)
+  matmul that tiles straight onto the MXU (group 256 = 2 MXU tiles).
+- masks thread through every norm so bucket padding never leaks into
+  valid frames (SURVEY.md §7.4.2).
+
+Architecture parity map (reference → here):
+  Encoder k=16 s=8 conv+relu (mossformer2.py:544)      → Encoder
+  MossFormerMaskNet (mossformer2.py:400)               → MaskNet
+  FLASH_ShareA_FFConvM (mossformer_block.py:143)       → FlashBlock
+  GatedFSMNBlockDilated (mossformer_block.py:391)      → GatedFsmnBlock
+  UniDeepFsmnDilated + DilatedDenseNet (fsmn.py:76-144)→ DilatedFsmn
+  ConvModule k=17 depthwise (conv_module.py:180)       → conv_module()
+  per-spk transposed-conv Decoder (mossformer2.py:579) → Decoder
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.registry import register_model
+
+
+# ---------------- small pieces ----------------
+
+
+class ScaleNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (1,))
+        scale = x.shape[-1] ** -0.5
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True) * scale
+        return x / jnp.maximum(norm, self.eps) * g
+
+
+def masked_global_layer_norm(x, mask, weight, bias, eps=1e-8):
+    """Normalize over (T, C) jointly, counting only mask==1 frames."""
+    m = mask[..., None]  # (B, T, 1)
+    denom = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1] / 1.0, 1.0)
+    mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / denom
+    var = jnp.sum(jnp.square(x - mean) * m, axis=(1, 2), keepdims=True) / denom
+    return (weight * (x - mean) / jnp.sqrt(var + eps) + bias) * m
+
+
+class GlobalLayerNorm(nn.Module):
+    """gLN over time+channels with affine params (mossformer2.py:27)."""
+
+    dim: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x, mask):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return masked_global_layer_norm(x, mask, w, b, self.eps)
+
+
+def conv_module(x, kernel: int = 17, name: str = "dwconv"):
+    """Conformer conv module: residual depthwise conv along time."""
+    c = x.shape[-1]
+    y = nn.Conv(
+        features=c,
+        kernel_size=(kernel,),
+        feature_group_count=c,
+        padding="SAME",
+        use_bias=False,
+        name=name,
+    )(x)
+    return x + y
+
+
+class FFConvM(nn.Module):
+    """ScaleNorm → Dense → SiLU → depthwise ConvModule."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = ScaleNorm(name="norm")(x)
+        x = nn.Dense(self.dim_out, name="proj")(x)
+        x = nn.silu(x)
+        x = conv_module(x)
+        return x
+
+
+def rope_rotate(x, rot_dims: int = 32):
+    """Rotary embedding on the first `rot_dims` dims (GPT-J partial RoPE,
+    mossformer_block.py:453)."""
+    t = x.shape[-2]
+    d = min(rot_dims, x.shape[-1])
+    d -= d % 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, d, 2) / d))
+    angles = jnp.arange(t)[:, None] * freqs[None, :]  # (T, d/2)
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    x_rot, x_pass = x[..., :d], x[..., d:]
+    x1, x2 = x_rot[..., 0::2], x_rot[..., 1::2]
+    rot = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    rot = rot.reshape(x_rot.shape)
+    return jnp.concatenate([rot, x_pass], axis=-1)
+
+
+# ---------------- FLASH shared-A gated attention ----------------
+
+
+class FlashBlock(nn.Module):
+    """Gated single-head attention with joint local-quadratic and
+    global-linear terms sharing one A matrix (FLASH ShareA)."""
+
+    dim: int
+    group_size: int = 256
+    qk_dim: int = 128
+    expansion_factor: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        b, t, d = x.shape
+        hidden = int(self.dim * self.expansion_factor)
+
+        # token shift: first half of channels delayed by one frame
+        x_shift, x_pass = jnp.split(x, 2, axis=-1)
+        x_shift = jnp.pad(x_shift, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        shifted = jnp.concatenate([x_shift, x_pass], axis=-1)
+
+        vu = FFConvM(hidden, name="to_hidden")(shifted, deterministic)
+        v, u = jnp.split(vu, 2, axis=-1)  # each (B, T, hidden/2)
+        qk = FFConvM(self.qk_dim, name="to_qk")(shifted, deterministic)
+
+        # offset-scale into 4 flavors
+        gamma = self.param(
+            "os_gamma", nn.initializers.normal(0.02), (4, self.qk_dim)
+        ) + 1.0
+        beta = self.param("os_beta", nn.initializers.zeros, (4, self.qk_dim))
+        qk4 = qk[..., None, :] * gamma + beta  # (B, T, 4, d)
+        quad_q, lin_q, quad_k, lin_k = [qk4[..., i, :] for i in range(4)]
+
+        quad_q, lin_q, quad_k, lin_k = map(
+            rope_rotate, (quad_q, lin_q, quad_k, lin_k)
+        )
+        lin_k = lin_k * mask[..., None]
+
+        g = self.group_size
+        n_groups = t // g  # t is pre-padded to a multiple of g by the caller
+        e = v.shape[-1]
+
+        def group(z):
+            return z.reshape(b, n_groups, g, z.shape[-1])
+
+        qq, qk_, lq, lk = group(quad_q), group(quad_k), group(lin_q), group(lin_k)
+        vg, ug = group(v), group(u)
+        mg = mask.reshape(b, n_groups, 1, g)
+
+        # quadratic intra-group attention: relu²(qkᵀ/g), masked
+        sim = jnp.einsum("bgid,bgjd->bgij", qq, qk_) / g
+        attn = jnp.square(jax.nn.relu(sim)) * mg
+        quad_v = jnp.einsum("bgij,bgje->bgie", attn, vg)
+        quad_u = jnp.einsum("bgij,bgje->bgie", attn, ug)
+
+        # global linear attention (non-causal): one kv summary over all
+        # valid frames (lin_k already masked), shared across groups
+        n_valid = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)[:, None, None]
+        lin_kv = jnp.einsum("bgnd,bgne->bde", lk, vg) / n_valid
+        lin_ku = jnp.einsum("bgnd,bgne->bde", lk, ug) / n_valid
+        lin_v = jnp.einsum("bgnd,bde->bgne", lq, lin_kv)
+        lin_u = jnp.einsum("bgnd,bde->bgne", lq, lin_ku)
+
+        att_v = (quad_v + lin_v).reshape(b, t, e)
+        att_u = (quad_u + lin_u).reshape(b, t, e)
+
+        out = (att_u * v) * jax.nn.sigmoid(att_v * u)
+        out = FFConvM(self.dim, name="to_out")(out, deterministic)
+        return x + out * mask[..., None]
+
+
+# ---------------- gated FSMN ----------------
+
+
+class DilatedDenseFsmnNet(nn.Module):
+    """Dense-dilated depthwise memory stack (DilatedDenseNet, depth=2)."""
+
+    channels: int
+    lorder: int = 20
+    depth: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, T, C)
+        k = self.lorder * 2 - 1
+        parts = [x]  # dense connectivity: conv i sees concat of all priors
+        out = x
+        for i in range(self.depth):
+            dil = 2 ** i
+            inp = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+            y = nn.Conv(
+                features=self.channels,
+                kernel_size=(k,),
+                kernel_dilation=(dil,),
+                feature_group_count=self.channels,
+                padding="SAME",
+                use_bias=False,
+                name=f"conv{i}",
+            )(inp)
+            # masked per-channel instance norm over time
+            m = mask[..., None]
+            denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(y * m, axis=1, keepdims=True) / denom
+            var = jnp.sum(jnp.square(y - mean) * m, axis=1, keepdims=True) / denom
+            w = self.param(f"in_w{i}", nn.initializers.ones, (self.channels,))
+            bb = self.param(f"in_b{i}", nn.initializers.zeros, (self.channels,))
+            y = (y - mean) / jnp.sqrt(var + 1e-5) * w + bb
+            alpha = self.param(f"prelu{i}", nn.initializers.constant(0.25), (self.channels,))
+            y = jnp.where(y >= 0, y, alpha * y)
+            out = y
+            parts = [out] + parts
+        return out
+
+
+class DilatedFsmn(nn.Module):
+    """UniDeepFsmnDilated: linear→relu→project→dense-dilated memory→residual."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = jax.nn.relu(nn.Dense(self.hidden, name="linear")(x))
+        p = nn.Dense(self.dim, use_bias=False, name="project")(h)
+        mem = DilatedDenseFsmnNet(self.dim, name="ddn")(p, mask)
+        return x + mem
+
+
+class GatedFsmnBlock(nn.Module):
+    """conv1×1 → PReLU → cLN → gated FSMN (v ⊙ fsmn(u) + x) → cLN → conv1×1 → residual."""
+
+    dim: int
+    inner: int = 256
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        h = nn.Dense(self.inner, name="conv1")(x)
+        alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
+        h = jnp.where(h >= 0, h, alpha * h)
+        h = nn.LayerNorm(name="norm1")(h)
+        inp = h
+        u = FFConvM(self.inner, name="to_u")(h, deterministic)
+        vv = FFConvM(self.inner, name="to_v")(h, deterministic)
+        u = DilatedFsmn(self.inner, self.inner, name="fsmn")(u, mask)
+        h = vv * u + inp
+        h = nn.LayerNorm(name="norm2")(h)
+        h = nn.Dense(self.dim, name="conv2")(h)
+        return (x + h) * mask[..., None]
+
+
+# ---------------- mask net + top model ----------------
+
+
+class MaskNet(nn.Module):
+    dim: int
+    num_blocks: int = 24
+    num_spks: int = 2
+    group_size: int = 256
+    qk_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        # x: (B, T, N) encoder output
+        b, t, n = x.shape
+        h = GlobalLayerNorm(n, name="in_norm")(x, mask)
+        h = nn.Dense(self.dim, use_bias=False, name="bottleneck")(h)
+        # scaled sinusoidal global position encoding
+        scale = self.param("pos_scale", nn.initializers.ones, (1,))
+        inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, self.dim, 2) / self.dim))
+        ang = jnp.arange(t)[:, None] * inv_freq[None, :]
+        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1) * scale
+        h = h + pe[None]
+        for i in range(self.num_blocks):
+            h = FlashBlock(
+                dim=self.dim,
+                group_size=self.group_size,
+                qk_dim=self.qk_dim,
+                name=f"flash_{i}",
+            )(h, mask, deterministic)
+            h = GatedFsmnBlock(dim=self.dim, name=f"fsmn_{i}")(h, mask, deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, name="out_ln")(h)
+        alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
+        h = jnp.where(h >= 0, h, alpha * h)
+        h = nn.Dense(self.dim * self.num_spks, name="spk_expand")(h)
+        h = h.reshape(b, t, self.num_spks, self.dim)
+        gate_t = nn.tanh(nn.Dense(self.dim, name="out_tanh")(h))
+        gate_s = nn.sigmoid(nn.Dense(self.dim, name="out_sig")(h))
+        h = gate_t * gate_s
+        h = nn.Dense(n, use_bias=False, name="mask_proj")(h)
+        return jax.nn.relu(h) * mask[..., None, None]  # (B, T, spk, N)
+
+
+@register_model(name="MossFormer2")
+class MossFormer2(nn.Module):
+    """2-speaker time-domain masking separator @16 kHz."""
+
+    dim: int = 512
+    enc_channels: int = 512
+    num_blocks: int = 24
+    kernel_size: int = 16
+    num_spks: int = 2
+    group_size: int = 256
+    qk_dim: int = 128
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, wav, lengths=None, deterministic: bool = True):
+        # wav: (B, T) in [-1, 1]
+        b, t_in = wav.shape
+        if lengths is None:
+            lengths = jnp.full((b,), t_in)
+        stride = self.kernel_size // 2
+        # encoder
+        x = nn.Conv(
+            self.enc_channels,
+            (self.kernel_size,),
+            strides=(stride,),
+            padding="VALID",
+            use_bias=False,
+            name="encoder",
+        )(wav[..., None])
+        x = jax.nn.relu(x)  # (B, T_enc, N)
+        t_enc = x.shape[1]
+        # pad frames to a multiple of group_size (static)
+        pad = (-t_enc) % self.group_size
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        t_pad = t_enc + pad
+        enc_lengths = jnp.clip((lengths - self.kernel_size) // stride + 1, 1, t_enc)
+        mask = (jnp.arange(t_pad)[None, :] < enc_lengths[:, None]).astype(x.dtype)
+
+        masks = MaskNet(
+            dim=self.dim,
+            num_blocks=self.num_blocks,
+            num_spks=self.num_spks,
+            group_size=self.group_size,
+            qk_dim=self.qk_dim,
+            name="mask_net",
+        )(x, mask, deterministic)
+
+        sep = x[:, :, None, :] * masks  # (B, T_pad, spk, N)
+        sep = sep[:, :t_enc]
+        # decoder: per-speaker shared transposed conv
+        dec = nn.ConvTranspose(
+            1,
+            (self.kernel_size,),
+            strides=(stride,),
+            padding="VALID",
+            use_bias=False,
+            name="decoder",
+        )
+        outs = []
+        for s in range(self.num_spks):
+            y = dec(sep[:, :, s, :])[..., 0]  # (B, T_out)
+            outs.append(y)
+        est = jnp.stack(outs, axis=1)  # (B, spk, T_out)
+        t_out = est.shape[-1]
+        if t_out >= t_in:
+            est = est[..., :t_in]
+        else:
+            est = jnp.pad(est, ((0, 0), (0, 0), (0, t_in - t_out)))
+        return est
+
+
+# ---------------- engine ----------------
+
+
+class SeparationEngine:
+    """Windowed 2-speaker separation with loudness-ordered outputs.
+
+    Mirrors AudioProcessor.separate_speaker (AudioProcessor.py:885-955):
+    16 kHz processing, fixed windows (default 10 s = 160 k samples),
+    outputs ordered loudest-first; but windows are batched into ONE
+    device call instead of the reference's sequential per-window loop.
+    """
+
+    WINDOW = 160_000
+
+    def __init__(self, params=None, model: MossFormer2 | None = None, seed: int = 0,
+                 window: int | None = None):
+        self.model = model or MossFormer2()
+        self.window = window or self.WINDOW
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, self.model.kernel_size * self.model.group_size)),
+            )
+        self.params = params
+        self._apply = jax.jit(
+            lambda p, w, l: self.model.apply(p, w, l, deterministic=True)
+        )
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "SeparationEngine":
+        from ..runtime.registry import from_pretrained
+
+        model, params = from_pretrained(path)
+        return cls(params=params, model=model)
+
+    def separate(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
+        """(2, T) separated sources at the input rate, loudest first."""
+        from ..ops.resample import resample_poly_np
+        from ..ops.loudness import integrated_loudness
+
+        audio = np.asarray(audio, np.float32)
+        t_orig = len(audio)
+        work = resample_poly_np(audio, self.model.sample_rate, sr) if sr != self.model.sample_rate else audio
+        n = len(work)
+        if n == 0:
+            return np.zeros((self.model.num_spks, t_orig), np.float32)
+        win = self.window
+        n_win = max(1, -(-n // win))
+        padded = np.pad(work, (0, n_win * win - n))
+        batch = padded.reshape(n_win, win)
+        lengths = np.full(n_win, win, np.int64)
+        lengths[-1] = n - (n_win - 1) * win if n % win else win
+        est = np.asarray(self._apply(self.params, jnp.asarray(batch), jnp.asarray(lengths)))
+        # stitch windows back (non-overlapping concat, reference behavior)
+        streams = est.transpose(1, 0, 2).reshape(self.model.num_spks, -1)[:, :n]
+        # order by loudness: louder stream first (AudioProcessor.py:949-952)
+        louds = [
+            float(integrated_loudness(jnp.asarray(s), self.model.sample_rate))
+            for s in streams
+        ]
+        order = np.argsort(louds)[::-1]
+        streams = streams[order]
+        if sr != self.model.sample_rate:
+            streams = np.stack(
+                [resample_poly_np(s, sr, self.model.sample_rate) for s in streams]
+            )
+        # exact-length trim/pad to input
+        if streams.shape[-1] >= t_orig:
+            streams = streams[..., :t_orig]
+        else:
+            streams = np.pad(streams, ((0, 0), (0, t_orig - streams.shape[-1])))
+        return streams
