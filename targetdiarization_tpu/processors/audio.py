@@ -1,0 +1,368 @@
+"""AudioProcessor: DSP toolbox + neural audio model front door.
+
+TPU-native re-creation of the reference's AudioProcessor
+(/root/reference/AudioProcessor.py:124) — same public surface, but every
+tensor op is a jitted jnp/XLA call and every neural stage is a JAX
+engine. Stages degrade gracefully: a missing/empty checkpoint path
+disables the stage exactly like the reference's `is_*` flags
+(AudioProcessor.py:169-202, SURVEY.md §5.3) — `separate_speaker` with no
+model returns the input twice, `denoise_vocal` falls back to the
+spectral gate, `restore_audio` passes audio through.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import audio as A
+from ..ops.loudness import integrated_loudness, normalize_loudness
+from ..ops.resample import resample, resample_poly_np
+from ..ops.stft import stft, istft
+from ..utils import audio_io
+
+
+class AudioProcessor:
+    def __init__(
+        self,
+        denoise_model: str = "",
+        separation_model: str = "",
+        restoration_model: str = "",
+        quality: int = 2,
+        verbose_log: bool = False,
+        seed: int = 0,
+        init_random_if_missing: bool = False,
+    ):
+        self.verbose_log = verbose_log
+        self.quality = quality
+        self.denoiser = None
+        self.separator = None
+        self.restorer = None
+        # quality preset → MDX hop (reference AudioProcessor.py:225-229)
+        hop = {1: 256, 2: 1024, 3: 2048}.get(quality, 1024)
+        try:
+            if denoise_model and os.path.exists(denoise_model):
+                from ..models.denoise import DenoiseEngine
+
+                self.denoiser = DenoiseEngine.from_pretrained(denoise_model, hop=hop)
+            elif init_random_if_missing:
+                from ..models.denoise import DenoiseEngine
+
+                self.denoiser = DenoiseEngine(seed=seed, hop=hop)
+        except Exception as e:  # soft degradation
+            self._log(f"denoise model unavailable: {e}")
+        try:
+            if separation_model and os.path.exists(separation_model):
+                from ..models.separation import SeparationEngine
+
+                self.separator = SeparationEngine.from_pretrained(separation_model)
+            elif init_random_if_missing:
+                from ..models.separation import SeparationEngine
+
+                self.separator = SeparationEngine(seed=seed)
+        except Exception as e:
+            self._log(f"separation model unavailable: {e}")
+        try:
+            if restoration_model and os.path.exists(restoration_model):
+                from ..models.restoration import RestorationEngine
+
+                self.restorer = RestorationEngine.from_pretrained(restoration_model)
+        except Exception as e:
+            self._log(f"restoration model unavailable: {e}")
+
+    def _log(self, msg: str):
+        if self.verbose_log:
+            print(msg)
+
+    # ---------------- I/O ----------------
+
+    def read_audio(self, wav_file, sampling_rate: int | None = None):
+        """(audio, sr) — file path, bytes, or pass-through ndarray."""
+        if isinstance(wav_file, np.ndarray):
+            return wav_file.astype(np.float32), sampling_rate or 16000
+        return audio_io.read_audio(wav_file, sample_rate=sampling_rate)
+
+    def write_to_file(self, audio_data, sampling_rate: int, output_file: str):
+        audio_io.write_audio(output_file, np.asarray(audio_data), sampling_rate)
+        return output_file
+
+    # ---------------- converters ----------------
+
+    @staticmethod
+    def int16_to_float32(x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, np.float32) / 32768.0).astype(np.float32)
+
+    @staticmethod
+    def float32_to_int16(x: np.ndarray) -> np.ndarray:
+        return np.clip(np.asarray(x) * 32768.0, -32768, 32767).astype(np.int16)
+
+    # ---------------- channel / rate / level ----------------
+
+    def audio_to_mono(self, audio_data: np.ndarray) -> np.ndarray:
+        """Layout-aware downmix incl. 5.1/7.1 (AudioProcessor.py:350-366)."""
+        return np.asarray(A.to_mono(jnp.asarray(np.asarray(audio_data, np.float32))))
+
+    def mono_to_stereo(self, audio_data: np.ndarray) -> np.ndarray:
+        a = np.asarray(audio_data, np.float32)
+        return np.stack([a, a], axis=1) if a.ndim == 1 else a
+
+    def audio_resample(self, audio_data: np.ndarray, orig_sr: int, target_sr: int):
+        if orig_sr == target_sr:
+            return np.asarray(audio_data, np.float32), orig_sr
+        out = np.asarray(resample(jnp.asarray(np.asarray(audio_data, np.float32)),
+                                  target_sr, orig_sr))
+        return out, target_sr
+
+    def meter_loudness(self, audio_data: np.ndarray, sampling_rate: int) -> float:
+        """Integrated LUFS (BS.1770 — reference pyloudnorm :1123-1127)."""
+        a = np.asarray(audio_data, np.float32)
+        if a.size < int(0.4 * sampling_rate):  # below one gating block
+            return float("-inf")
+        return float(integrated_loudness(jnp.asarray(a), sampling_rate))
+
+    def audio_loudness_control(self, audio_data: np.ndarray, sampling_rate: int,
+                               target_loudness: float = -23.0) -> np.ndarray:
+        a = np.asarray(audio_data, np.float32)
+        if a.size < int(0.4 * sampling_rate):
+            return a
+        return np.asarray(
+            normalize_loudness(jnp.asarray(a), sampling_rate, target_loudness)
+        )
+
+    def audio_gain(self, audio_data: np.ndarray, gain_db: float) -> np.ndarray:
+        return np.asarray(A.apply_gain_db(jnp.asarray(audio_data), gain_db))
+
+    def audio_normalize(self, audio_data: np.ndarray, peak_db: float = -1.0):
+        return np.asarray(A.peak_normalize(jnp.asarray(audio_data), peak_db))
+
+    def audio_compress(self, audio_data: np.ndarray, threshold_db: float = -20.0,
+                       ratio: float = 4.0) -> np.ndarray:
+        """Simple static-curve compressor above threshold."""
+        a = jnp.asarray(np.asarray(audio_data, np.float32))
+        level_db = A.gain_to_db(jnp.abs(a) + 1e-12)
+        over = jnp.maximum(level_db - threshold_db, 0.0)
+        gain_db = -over * (1.0 - 1.0 / ratio)
+        return np.asarray(a * A.db_to_gain(gain_db))
+
+    # ---------------- slicing / silence ----------------
+
+    def split_audio_by_time(self, audio_data: np.ndarray, sampling_rate: int,
+                            start_time: float, end_time: float) -> np.ndarray:
+        s = max(0, int(start_time * sampling_rate))
+        e = min(len(audio_data), int(end_time * sampling_rate))
+        return np.asarray(audio_data[s:e])
+
+    def split_audio_by_silence(self, audio_data: np.ndarray, sampling_rate: int,
+                               silence_thresh_db: float = -30.0,
+                               min_silence_sec: float = 0.5,
+                               min_chunk_sec: float = 5.0) -> list:
+        """Split on RMS-silence runs (reference pydub split :750-783)."""
+        a = np.asarray(audio_data, np.float32)
+        win = max(1, int(0.02 * sampling_rate))
+        n_win = len(a) // win
+        if n_win == 0:
+            return [a] if a.size else []
+        frames = a[: n_win * win].reshape(n_win, win)
+        db = 20 * np.log10(np.sqrt(np.mean(frames**2, axis=1)) + 1e-12)
+        silent = db < silence_thresh_db
+        min_run = max(1, int(min_silence_sec / 0.02))
+        # find silence runs ≥ min_run → cut points at run centers
+        cuts = []
+        run = 0
+        for i, s in enumerate(silent):
+            run = run + 1 if s else 0
+            if run == min_run:
+                cuts.append(i - min_run // 2)
+        chunks = []
+        prev = 0
+        min_chunk = int(min_chunk_sec * sampling_rate)
+        for c in cuts:
+            pos = c * win
+            if pos - prev >= min_chunk:
+                chunks.append(a[prev:pos])
+                prev = pos
+        chunks.append(a[prev:])
+        return [c for c in chunks if c.size]
+
+    def remove_silence(self, audio_data: np.ndarray, sampling_rate: int,
+                       silence_thresh_db: float = -30.0,
+                       min_silence_sec: float = 0.5,
+                       min_chunk_sec: float = 5.0) -> np.ndarray:
+        chunks = self.split_audio_by_silence(
+            audio_data, sampling_rate, silence_thresh_db, min_silence_sec,
+            min_chunk_sec,
+        )
+        return self.combine_audio_chunks(chunks)
+
+    @staticmethod
+    def combine_audio_chunks(chunks: list) -> np.ndarray:
+        if not chunks:
+            return np.zeros(0, np.float32)
+        return np.concatenate([np.asarray(c) for c in chunks], axis=0)
+
+    # ---------------- synthesis / mixing ----------------
+
+    def generate_noise(self, duration_sec: float, sampling_rate: int,
+                       noise_type: str = "white", amplitude: float = 0.01,
+                       seed: int = 0) -> np.ndarray:
+        """white / pink / brown noise (reference :786-807)."""
+        rng = np.random.default_rng(seed)
+        n = int(duration_sec * sampling_rate)
+        white = rng.standard_normal(n).astype(np.float32)
+        if noise_type == "white":
+            out = white
+        elif noise_type == "pink":
+            spec = np.fft.rfft(white)
+            f = np.maximum(np.arange(len(spec)), 1.0)
+            out = np.fft.irfft(spec / np.sqrt(f), n=n).astype(np.float32)
+        elif noise_type == "brown":
+            out = np.cumsum(white).astype(np.float32)
+        else:
+            raise ValueError(f"unknown noise type {noise_type!r}")
+        peak = np.max(np.abs(out)) or 1.0
+        return out / peak * amplitude
+
+    def mix_audio(self, audio_a: np.ndarray, audio_b: np.ndarray,
+                  snr_db: float | None = None) -> np.ndarray:
+        a, b = np.asarray(audio_a, np.float32), np.asarray(audio_b, np.float32)
+        n = max(len(a), len(b))
+        a = np.pad(a, (0, n - len(a)))
+        b = np.pad(b, (0, n - len(b)))
+        return np.asarray(A.mix_audio(jnp.asarray(a), jnp.asarray(b), snr_db))
+
+    def mix_audio_by_freq(self, audio_a: np.ndarray, audio_b: np.ndarray,
+                          sampling_rate: int, crossover_hz: float = 1000.0
+                          ) -> np.ndarray:
+        """Low band of a + high band of b (reference :845-883)."""
+        a, b = np.asarray(audio_a, np.float32), np.asarray(audio_b, np.float32)
+        n = max(len(a), len(b))
+        a = np.pad(a, (0, n - len(a)))
+        b = np.pad(b, (0, n - len(b)))
+        fa = np.fft.rfft(a)
+        fb = np.fft.rfft(b)
+        freqs = np.fft.rfftfreq(n, 1.0 / sampling_rate)
+        lo = freqs <= crossover_hz
+        return np.fft.irfft(np.where(lo, fa, fb), n=n).astype(np.float32)
+
+    def eq_match(self, source_audio: np.ndarray, target_audio: np.ndarray,
+                 sampling_rate: int, n_fft: int = 2048, smooth: int = 9
+                 ) -> np.ndarray:
+        """Shape source's spectrum toward target's long-term average
+        (reference eq_match :502-548)."""
+        src = jnp.asarray(np.asarray(source_audio, np.float32))
+        tgt = jnp.asarray(np.asarray(target_audio, np.float32))
+        hop = n_fft // 4
+        s_spec = stft(src, n_fft, hop)
+        t_spec = stft(tgt, n_fft, hop)
+        s_mag = np.asarray(jnp.mean(jnp.abs(s_spec), axis=-1))
+        t_mag = np.asarray(jnp.mean(jnp.abs(t_spec), axis=-1))
+        curve = (t_mag + 1e-8) / (s_mag + 1e-8)
+        if smooth > 1:
+            k = np.ones(smooth) / smooth
+            curve = np.convolve(curve, k, mode="same")
+        out = istft(s_spec * jnp.asarray(curve)[:, None], n_fft, hop,
+                    length=len(source_audio))
+        return np.asarray(out)
+
+    def audio_stretch(self, audio_data: np.ndarray, sampling_rate: int,
+                      rate: float) -> np.ndarray:
+        """Phase-vocoder time stretch (rate>1 = faster/shorter;
+        reference audiostretchy :477-490)."""
+        if rate == 1.0:
+            return np.asarray(audio_data, np.float32)
+        a = np.asarray(audio_data, np.float32)
+        n_fft, hop = 2048, 512
+        spec = np.asarray(stft(jnp.asarray(a), n_fft, hop))
+        n_frames = spec.shape[-1]
+        steps = np.arange(0, n_frames - 1, rate)
+        phase = np.angle(spec[:, 0])
+        out = np.zeros((spec.shape[0], len(steps)), np.complex64)
+        two_pi_hop = 2 * np.pi * hop * np.arange(spec.shape[0]) / n_fft
+        for i, t in enumerate(steps):
+            lo = int(t)
+            frac = t - lo
+            mag = (1 - frac) * np.abs(spec[:, lo]) + frac * np.abs(spec[:, lo + 1])
+            out[:, i] = mag * np.exp(1j * phase)
+            dphase = np.angle(spec[:, lo + 1]) - np.angle(spec[:, lo]) - two_pi_hop
+            dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
+            phase = phase + two_pi_hop + dphase
+        return np.asarray(
+            istft(jnp.asarray(out), n_fft, hop)
+        )
+
+    def audio_pitch_shift(self, audio_data: np.ndarray, sampling_rate: int,
+                          n_semitones: float) -> np.ndarray:
+        """Pitch shift = stretch + resample (reference librosa :452-475)."""
+        if n_semitones == 0:
+            return np.asarray(audio_data, np.float32)
+        factor = 2.0 ** (n_semitones / 12.0)
+        stretched = self.audio_stretch(audio_data, sampling_rate, 1.0 / factor)
+        out = resample_poly_np(stretched, int(sampling_rate / factor), sampling_rate)
+        n = len(audio_data)
+        return out[:n] if len(out) >= n else np.pad(out, (0, n - len(out)))
+
+    # ---------------- neural stages ----------------
+
+    @property
+    def is_denoise_vocal(self) -> bool:
+        return self.denoiser is not None
+
+    @property
+    def is_separate_speaker(self) -> bool:
+        return self.separator is not None
+
+    @property
+    def is_restore_audio(self) -> bool:
+        return self.restorer is not None
+
+    def denoise_vocal(self, audio_data: np.ndarray, sampling_rate: int = 16000,
+                      fast_mode: bool = False) -> np.ndarray:
+        self._log("Running module: denoise_vocal")
+        if self.denoiser is None or fast_mode:
+            from ..models.denoise import spectral_gate
+
+            return np.asarray(spectral_gate(jnp.asarray(
+                np.asarray(audio_data, np.float32))))
+        return self.denoiser.denoise_vocal(audio_data, sr=sampling_rate)
+
+    def separate_speaker(self, audio_data: np.ndarray, sampling_rate: int = 16000
+                         ) -> list:
+        """[spk1, spk2] loudest-first; disabled → input twice
+        (reference AudioProcessor.py:886-888)."""
+        self._log("Running module: separate_speaker")
+        if self.separator is None:
+            a = np.asarray(audio_data, np.float32)
+            return [a, a.copy()]
+        out = self.separator.separate(audio_data, sr=sampling_rate)
+        return [out[0], out[1]]
+
+    def restore_audio(self, audio_data: np.ndarray, sampling_rate: int = 16000
+                      ) -> np.ndarray:
+        self._log("Running module: restore_audio")
+        if self.restorer is None:
+            return np.asarray(audio_data, np.float32)
+        return self.restorer.restore(audio_data, sr=sampling_rate)
+
+    enhance_audio = restore_audio  # Resemble-Enhance slot routes to the restorer
+
+    def run_modules(self, audio_data: np.ndarray, sampling_rate: int,
+                    modules: list) -> np.ndarray:
+        """Sequential preprocessing chain by name
+        (reference run_modules :284-307)."""
+        out = np.asarray(audio_data, np.float32)
+        for mod in modules:
+            if mod == "denoise":
+                out = self.denoise_vocal(out, sampling_rate)
+            elif mod == "separate":
+                out = self.separate_speaker(out, sampling_rate)[0]
+            elif mod == "restore":
+                out = self.restore_audio(out, sampling_rate)
+            elif mod == "loudness":
+                out = self.audio_loudness_control(out, sampling_rate)
+            elif mod == "normalize":
+                out = self.audio_normalize(out)
+            else:
+                self._log(f"unknown module {mod!r} skipped")
+        return out
