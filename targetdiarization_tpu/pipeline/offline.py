@@ -1,0 +1,482 @@
+"""TargetDiarization: the end-to-end offline pipeline (L4).
+
+TPU-native re-creation of the reference pipeline
+(/root/reference/TargetDiarization.py:25): preprocess → diarize →
+overlap-refine → target-ID → per-speaker combined ASR with char-timestamp
+slicing → result assembly. Same public surface (`infer`,
+`audio_preprocess`, parsers, interval algebra re-exported as methods) and
+the same result schema:
+
+    infer(...) -> (target_spk,
+                   [{"speaker", "timerange", "text", "type", "score"}, ...],
+                   target_audio | None)
+
+Engine mapping (reference → here):
+  modelscope CAM++ sd_pipeline (:73-77)  → ClusterDiarizer (long audio)
+  pyannote od_pipeline (:84-87)          → SegmentationEngine (short audio
+                                           diarization + overlap detect)
+  TargetASR strategies                    → pipeline.target_asr.TargetASR
+"""
+
+from __future__ import annotations
+
+import io
+import math
+from typing import Union
+
+import numpy as np
+
+from . import intervals as iv
+from .target_asr import TargetASR
+from ..processors.audio import AudioProcessor
+
+
+class TargetDiarization:
+    def __init__(
+        self,
+        target_asr: TargetASR | None = None,
+        cluster_diarizer=None,
+        segmentation_engine=None,
+        asr_engine: str = "paraformer",
+        target_similarity_threshold: float = 0.0,
+        long_audio_threshold: float = 30.0,
+        pyannote_clustering_threshold: float = 0.0,
+        verbose_log: bool = False,
+        seed: int = 0,
+    ):
+        self.verbose_log = verbose_log
+        self.asr_engine = asr_engine
+        self.target_similarity_threshold = target_similarity_threshold
+        self.long_audio_threshold = long_audio_threshold
+        self.tasr = target_asr or TargetASR(verbose_log=verbose_log, seed=seed)
+        self.ap: AudioProcessor = self.tasr.ap
+
+        if cluster_diarizer is None:
+            from ..models.diarization import ClusterDiarizer, DiarizeConfig
+
+            cfg = DiarizeConfig()
+            if pyannote_clustering_threshold:
+                cfg.clustering_threshold = pyannote_clustering_threshold
+            cluster_diarizer = ClusterDiarizer(
+                self.tasr.spk, vad_engine=self.tasr.asrp.vad, cfg=cfg
+            )
+        self.sd_pipeline = cluster_diarizer  # CAM++ slot
+        self.od_pipeline = segmentation_engine  # pyannote slot (may be None)
+
+    def _log(self, *args):
+        if self.verbose_log:
+            print(*args)
+
+    # ---------------- interval algebra (API parity re-exports) ----------------
+
+    calc_single_iou = staticmethod(iv.calc_single_iou)
+    calc_multi_iou = staticmethod(iv.calc_multi_iou)
+    calc_iou_score = staticmethod(iv.calc_iou_score)
+    sd_key_matcher = staticmethod(iv.sd_key_matcher)
+    merge_timeranges = staticmethod(iv.merge_timeranges)
+    subtract_timeranges = staticmethod(iv.subtract_timeranges)
+    apply_od_result = staticmethod(iv.apply_od_result)
+    subtract_overlap = staticmethod(iv.subtract_overlap)
+    get_speaker_num = staticmethod(iv.get_speaker_num)
+    get_speaker_overlap = staticmethod(iv.get_speaker_overlap)
+
+    # ---------------- preprocessing ----------------
+
+    def audio_preprocess(self, audio_data: np.ndarray, sampling_rate: int = 16000,
+                         stream_mode: bool = False, output_audio_only: bool = False):
+        """mono → f32 → 16 kHz → loudness → denoise (offline) or
+        separation-denoise (streaming) → loudness
+        (reference TargetDiarization.py:166-182)."""
+        audio_data = self.ap.audio_to_mono(np.asarray(audio_data))
+        if audio_data.dtype.kind == "i":
+            audio_data = self.ap.int16_to_float32(audio_data)
+        audio_data = audio_data.astype(np.float32)
+        try:
+            audio_data, sampling_rate = self.ap.audio_resample(
+                audio_data, sampling_rate, 16000)
+            audio_data = self.ap.audio_loudness_control(audio_data, sampling_rate)
+            if stream_mode:
+                audio_data = self.ap.separate_speaker(audio_data, sampling_rate)[0]
+            else:
+                audio_data = self.ap.denoise_vocal(audio_data, sampling_rate)
+            audio_data = self.ap.audio_loudness_control(audio_data, sampling_rate)
+        except Exception as e:
+            print(f"Failed in func audio_preprocess: {e}")
+        if output_audio_only:
+            return audio_data
+        return audio_data, sampling_rate
+
+    # ---------------- parsers ----------------
+
+    def sd_result_parser(self, sd_result: dict, is_single: bool = False,
+                         combine_timerange: bool = False) -> dict:
+        """Parse {'text': [[s, e, spk], ...]} (CAM++ result shape) into an
+        sd_result dict (reference :185-225)."""
+        if not sd_result or not sd_result.get("text"):
+            return {}
+        return iv.parse_segments(sd_result["text"], is_single=is_single,
+                                 combine=combine_timerange)
+
+    def od_result_parser(self, od_result: dict, sd_result: dict | None = None,
+                         is_single: bool = False, output_overlap: bool = True):
+        """Take a segmentation diarization dict, optionally relabel its
+        keys onto sd_result's, then reduce to pairwise overlaps
+        (reference :228-246)."""
+        if not od_result:
+            return {}
+        result = od_result
+        if is_single:
+            merged = []
+            for ranges in od_result.values():
+                merged.extend(ranges)
+            result = {"0": iv.merge_timeranges(merged)}
+        if sd_result:
+            result = iv.sd_key_matcher(sd_result, result)
+        if output_overlap:
+            result = iv.get_speaker_overlap(result)
+        return result
+
+    # ---------------- target selection ----------------
+
+    def sd_result_to_target_embedding(self, audio_data, sampling_rate=16000,
+                                      sd_result=None, overlap_map=None,
+                                      target_spk: str = ""):
+        """Pick target speaker (longest total duration) and build its
+        embedding from non-overlap clips (reference :551-578)."""
+        sd_result = sd_result or {}
+        if not sd_result:
+            return "", self.tasr.get_target_embedding(audio_data)
+        if not target_spk or target_spk not in sd_result:
+            target_spk = max(
+                sd_result, key=lambda s: iv.total_duration(sd_result[s])
+            ) if len(sd_result) > 1 else list(sd_result)[0]
+        work = iv.subtract_overlap(sd_result, overlap_map) if overlap_map else sd_result
+        clips = [
+            self.ap.split_audio_by_time(audio_data, sampling_rate, s, e)
+            for s, e in work.get(target_spk, [])
+            if (e - s) >= 0.4
+        ]
+        if clips:
+            target_audio = np.concatenate(clips, axis=0)
+            emb = self.tasr.get_target_embedding(target_audio)
+        else:
+            emb = self.tasr.get_target_embedding(audio_data)
+        return target_spk, emb
+
+    def target_embedding_to_target_spk(self, target_embedding, audio_data,
+                                       sampling_rate=16000, sd_result=None,
+                                       overlap_map=None) -> str:
+        """Score every speaker's clips vs the enrollment; best average
+        wins (reference :581-599) — clips embedded in one batch."""
+        sd_result = sd_result or {}
+        if not sd_result:
+            return ""
+        work = iv.subtract_overlap(sd_result, overlap_map or [])
+        score_map = []
+        for spk, ranges in work.items():
+            clips = [
+                self.ap.split_audio_by_time(audio_data, sampling_rate, s, e)
+                for s, e in ranges
+            ]
+            clips = [c for c in clips if c.size]
+            if not clips:
+                continue
+            embs = self.tasr.spk.embed_batch(clips, sr=sampling_rate)
+            scores = [
+                self.tasr.cosine_similarity(target_embedding, e)
+                for e in embs
+                if np.linalg.norm(e) > 0
+            ]
+            if scores:
+                score_map.append([spk, sum(scores) / len(scores)])
+        if not score_map:
+            return ""
+        score_map.sort(key=lambda x: x[1], reverse=True)
+        return score_map[0][0]
+
+    def recheck_target_speaker(self, result: list, target_spk: str,
+                               target_embedding, method: str = "recheck_target"
+                               ) -> list:
+        """Cosine re-verification; mismatches flip speaker to "-1"
+        (reference :603-631). No-op when threshold == 0."""
+        if not result:
+            return []
+        for item in result:
+            item["score"] = -1.0
+        if target_embedding is None or not self.target_similarity_threshold:
+            return result
+        audios = []
+        idxs = []
+        for i, item in enumerate(result):
+            if method == "recheck_target" and item["speaker"] != target_spk:
+                continue
+            if method == "recheck_others" and item["speaker"] == target_spk:
+                continue
+            if item.get("audio") is None:
+                continue
+            idxs.append(i)
+            audios.append(item["audio"])
+        if not audios:
+            return result
+        embs = self.tasr.spk.embed_batch(audios)
+        for i, emb in zip(idxs, embs):
+            score = self.tasr.cosine_similarity(target_embedding, emb)
+            result[i]["score"] = round(score, 3)
+            if score >= self.target_similarity_threshold:
+                result[i]["speaker"] = target_spk
+            elif result[i]["speaker"] == target_spk:
+                result[i]["speaker"] = "-1"
+        return result
+
+    # ---------------- ASR assembly ----------------
+
+    def sd_result_to_asr_audio(self, audio_data, sampling_rate=16000,
+                               sd_result=None, overlap_map=None,
+                               target_spk: str = "", target_embedding=None
+                               ) -> list:
+        """Slice per-speaker clips (separating overlaps), then run ONE
+        combined ASR per speaker on a silence-padded timeline and slice
+        its char timestamps back onto each clip (reference :716-820)."""
+        sd_result = sd_result or {}
+        overlap_map = overlap_map or []
+        asr_result: list = []
+        if not sd_result:
+            return asr_result
+        if overlap_map:
+            singles = iv.subtract_overlap(sd_result, overlap_map)
+            overlaps = iv.subtract_overlap(sd_result, overlap_map, reverse_output=True)
+        else:
+            singles, overlaps = sd_result, {}
+
+        for spk, ranges in singles.items():
+            for s, e in ranges:
+                asr_result.append({
+                    "speaker": spk, "timerange": [s, e], "text": "",
+                    "type": "single",
+                    "audio": self.ap.split_audio_by_time(audio_data, sampling_rate, s, e),
+                })
+
+        if not target_spk or target_embedding is None:
+            for spk, ranges in overlaps.items():
+                for s, e in ranges:
+                    asr_result.append({
+                        "speaker": spk, "timerange": [s, e], "text": "",
+                        "type": "overlap",
+                        "audio": self.ap.split_audio_by_time(audio_data, sampling_rate, s, e),
+                    })
+        else:
+            noise_spks = sorted(set(sd_result) - {target_spk})
+            for spk, ranges in overlaps.items():
+                if spk in noise_spks:
+                    continue
+                for s, e in ranges:
+                    clip = self.ap.split_audio_by_time(audio_data, sampling_rate, s, e)
+                    sep = self.tasr.multi_speakers_separate_asr(
+                        clip, target_embedding=target_embedding, threshold=0.0,
+                        is_output_asr=False,
+                        more_args={"asr_engine": self.asr_engine})
+                    if not sep:
+                        continue
+                    t_audio = self.ap.audio_loudness_control(
+                        sep[0]["audio"], sampling_rate)
+                    t_range = [round(s + sep[0]["timerange"][0], 3),
+                               round(s + sep[0]["timerange"][1], 3)]
+                    asr_result.append({
+                        "speaker": spk, "timerange": t_range, "text": "",
+                        "type": "overlap", "audio": t_audio,
+                    })
+                    if noise_spks and len(sep) > 1:
+                        n_range = [round(s + sep[1]["timerange"][0], 3),
+                                   round(s + sep[1]["timerange"][1], 3)]
+                        asr_result.append({
+                            "speaker": noise_spks[0], "timerange": n_range,
+                            "text": "", "type": "overlap",
+                            "audio": sep[1]["audio"],
+                        })
+
+        if not asr_result:
+            return asr_result
+        asr_result.sort(key=lambda x: x["timerange"][0])
+
+        new_result = []
+        for spk in sorted({item["speaker"] for item in asr_result}):
+            combined = self.combine_audio_chunks(asr_result, spk, sampling_rate)
+            if combined is None:
+                continue
+            asr = self.tasr.asrp.asr_detection(
+                combined, sampling_rate, asr_engine=self.asr_engine,
+                no_punc=True)[0]
+            timestamps = asr.get("timestamp") or []
+            if not timestamps:
+                text = self.tasr.asrp.punctuation_restore(asr["text"].strip())
+                new_result.append({
+                    "speaker": spk,
+                    "timerange": [asr_result[0]["timerange"][0],
+                                  asr_result[-1]["timerange"][1]],
+                    "text": text, "type": "single", "audio": combined,
+                })
+                continue
+            lang = asr.get("language") or self.tasr.asrp.detect_language(asr["text"])
+            chars = list(asr["text"])
+            for item in asr_result:
+                if item["speaker"] != spk:
+                    continue
+                lo = math.floor(item["timerange"][0] * 10) / 10 * 1000
+                hi = math.ceil(item["timerange"][1] * 10) / 10 * 1000
+                picked = [
+                    chars[i] for i, (ts, te) in enumerate(timestamps)
+                    if i < len(chars) and lo <= ts <= hi
+                ]
+                joiner = "" if lang in ("zh", "ja", "ko", "yue") else " "
+                text = joiner.join(picked).strip()
+                item["text"] = self.tasr.asrp.punctuation_restore(text)
+                new_result.append(item)
+        new_result.sort(key=lambda x: x["timerange"][0])
+        return new_result
+
+    @staticmethod
+    def combine_audio_chunks(asr_result: list, speaker: str,
+                             sampling_rate: int = 16000):
+        """Concatenate one speaker's clips on a silence-padded timeline
+        (reference :822-838)."""
+        pieces = []
+        cursor = 0.0
+        for item in asr_result:
+            if item["speaker"] != speaker:
+                continue
+            if cursor < item["timerange"][0]:
+                pieces.append(np.zeros(
+                    int((item["timerange"][0] - cursor) * sampling_rate),
+                    np.float32))
+            pieces.append(np.asarray(item["audio"], np.float32))
+            cursor = item["timerange"][1]
+        if not pieces:
+            return None
+        return np.concatenate(pieces, axis=0)
+
+    def asr_audio_parser(self, asr_result: list, target_spk: str,
+                         output_target_audio: bool = True):
+        """Strip audio from results; optionally assemble the target
+        speaker's silence-padded track (reference :841-873)."""
+        result = []
+        if not asr_result:
+            return result, None
+        if isinstance(asr_result, dict):
+            asr_result = [asr_result]
+        if not output_target_audio:
+            for item in asr_result:
+                item.pop("audio", None)
+                result.append(item)
+            return result, None
+        sr = 16000
+        asr_result.sort(key=lambda x: x["timerange"][0])
+        pieces = []
+        cursor = 0.0
+        for item in asr_result:
+            if item["speaker"] == target_spk:
+                gap = int((item["timerange"][0] - cursor) * sr)
+                if gap > 0:
+                    pieces.append(np.zeros(gap, np.float32))
+                pieces.append(np.asarray(item["audio"], np.float32))
+                cursor = item["timerange"][1]
+            item.pop("audio", None)
+            result.append(item)
+        if cursor < asr_result[-1]["timerange"][1]:
+            pieces.append(np.zeros(
+                int((asr_result[-1]["timerange"][1] - cursor) * sr), np.float32))
+        target_audio = np.concatenate(pieces) if pieces else None
+        return result, target_audio
+
+    # ---------------- main entry ----------------
+
+    def infer(self, wav_file: Union[str, np.ndarray, io.BytesIO],
+              target_file: Union[str, np.ndarray, io.BytesIO, None] = None,
+              sampling_rate: int = 16000, is_single: bool = False,
+              output_target_audio: bool = True):
+        """Full offline inference (reference TargetDiarization.py:98-163)."""
+        if isinstance(wav_file, (str, io.BytesIO)):
+            audio_data, sampling_rate = self.ap.read_audio(wav_file)
+        else:
+            audio_data = np.asarray(wav_file)
+        audio_data, sampling_rate = self.audio_preprocess(audio_data, sampling_rate)
+
+        target_embedding = None
+        if target_file is not None:
+            if isinstance(target_file, (str, io.BytesIO)):
+                t_audio, t_sr = self.ap.read_audio(target_file)
+            else:
+                t_audio, t_sr = np.asarray(target_file), sampling_rate
+            t_audio, t_sr = self.audio_preprocess(t_audio, t_sr)
+            t_vad = self.tasr.asrp.vad_detection(t_audio, t_sr)
+            if t_vad:
+                start, end = t_vad[0][0], t_vad[-1][1]
+                if end - start < 4.0:
+                    print("WARNING: The valid speaking duration of target "
+                          "audio is less than 4s. This may cause a bad result.")
+                t_audio = self.ap.split_audio_by_time(t_audio, t_sr, start, end)
+                target_embedding = self.tasr.get_speaker_embedding(t_audio, t_sr)
+            else:
+                print("ERROR: No VAD result in target audio. Automatically "
+                      "select one speaker from the input audio as the target.")
+
+        duration = len(audio_data) / sampling_rate
+        sd_result = None
+        seg_sd = None  # segmentation diarization (pyannote-slot) result
+        if duration >= self.long_audio_threshold or self.od_pipeline is None:
+            try:
+                raw = {"text": self._cluster_segments(audio_data, sampling_rate)}
+                sd_result = self.sd_result_parser(raw, is_single=is_single)
+            except Exception as e:
+                sd_result = None
+                print(e)
+        if not sd_result and self.od_pipeline is not None:
+            seg_sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+            if is_single:
+                merged = []
+                for ranges in seg_sd.values():
+                    merged.extend(ranges)
+                sd_result = {"0": iv.merge_timeranges(merged)} if merged else {}
+            else:
+                sd_result = seg_sd
+        sd_result = sd_result or {}
+        self._log("sd_result:", sd_result)
+
+        overlap_map = []
+        target_spk = ""
+        if not is_single:
+            od_result = {}
+            if self.od_pipeline is not None:
+                if seg_sd is None:
+                    seg_sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+                od_result = self.od_result_parser(seg_sd, sd_result=sd_result)
+            self._log("od_result:", od_result)
+            sd_result, overlap_map = iv.apply_od_result(sd_result, od_result)
+            self._log("refined sd_result:", sd_result, "overlap_map:", overlap_map)
+            if target_embedding is not None:
+                target_spk = self.target_embedding_to_target_spk(
+                    target_embedding, audio_data, sampling_rate, sd_result,
+                    overlap_map)
+            else:
+                target_spk, target_embedding = self.sd_result_to_target_embedding(
+                    audio_data, sampling_rate, sd_result, overlap_map)
+            self._log("target_spk:", target_spk)
+
+        asr_result = self.sd_result_to_asr_audio(
+            audio_data, sampling_rate, sd_result, overlap_map, target_spk,
+            target_embedding)
+        asr_result = self.recheck_target_speaker(asr_result, target_spk,
+                                                 target_embedding)
+        asr_result, target_audio = self.asr_audio_parser(
+            asr_result, target_spk, output_target_audio)
+        return target_spk, asr_result, target_audio
+
+    def _cluster_segments(self, audio_data, sampling_rate) -> list:
+        sd = self.sd_pipeline.diarize(audio_data, sr=sampling_rate)
+        segments = []
+        for spk, ranges in sd.items():
+            for s, e in ranges:
+                segments.append([s, e, int(spk)])
+        segments.sort(key=lambda x: x[0])
+        if not segments:
+            raise RuntimeError("cluster diarizer produced no segments")
+        return segments

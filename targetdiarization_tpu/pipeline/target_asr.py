@@ -1,0 +1,397 @@
+"""TargetASR: target-speaker ASR strategies (L3 task engine).
+
+TPU-native re-creation of the reference's TargetASR (/root/reference/
+TargetASR.py:27): speaker-embedding extraction/selection, cosine gating,
+time-domain VAD-clip gating, 2-source separation routing, batch API and
+the streaming mix processor. Composes one AudioProcessor, one
+ASRProcessor and one SpeakerEngine.
+
+Result schema everywhere (the contract TargetDiarization assembles on):
+    {"timerange": [s, e], "text": str, "score": float,
+     "sampling_rate": int, "audio": np.ndarray}
+
+Key TPU-side difference from the reference: per-VAD-clip embeddings are
+extracted with ONE bucketed batch forward (`embed_batch`) instead of a
+Python loop of single forwards (reference TargetASR.py:313-325).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Union
+
+import numpy as np
+
+from ..processors.audio import AudioProcessor
+from ..processors.asr import ASRProcessor
+from ..models.speaker import SpeakerEngine, cosine_similarity
+
+
+class TargetASR:
+    def __init__(
+        self,
+        audio_processor: AudioProcessor | None = None,
+        asr_processor: ASRProcessor | None = None,
+        speaker_engine: SpeakerEngine | None = None,
+        embedding_model: str = "",
+        embedding_model_name: str = "eres2netv2_large",
+        verbose_log: bool = False,
+        seed: int = 0,
+    ):
+        self.verbose_log = verbose_log
+        self.ap = audio_processor or AudioProcessor(verbose_log=verbose_log)
+        self.asrp = asr_processor or ASRProcessor(verbose_log=verbose_log)
+        if speaker_engine is not None:
+            self.spk = speaker_engine
+        elif embedding_model and os.path.exists(embedding_model):
+            self.spk = SpeakerEngine.from_pretrained(embedding_model)
+        else:
+            self.spk = SpeakerEngine(model_name=embedding_model_name, seed=seed)
+
+    # ---------------- embeddings ----------------
+
+    def input_audio_preprocess(self, audio):
+        """file/bytes/ndarray → (mono float32 @16 kHz, 16000)
+        (reference TargetASR.py:261-272)."""
+        if isinstance(audio, np.ndarray):
+            audio_data, sr = audio.astype(np.float32), 16000
+        else:
+            audio_data, sr = self.ap.read_audio(audio)
+        if audio_data.ndim > 1:
+            audio_data = self.ap.audio_to_mono(audio_data)
+        audio_data, sr = self.ap.audio_resample(audio_data, sr, 16000)
+        return audio_data, sr
+
+    def get_speaker_embedding(self, wav_file, sampling_rate: int = 16000,
+                              **_) -> np.ndarray:
+        if isinstance(wav_file, np.ndarray):
+            audio = wav_file
+        else:
+            audio, sampling_rate = self.input_audio_preprocess(wav_file)
+        return self.spk.get_speaker_embedding(audio, sr=sampling_rate)
+
+    def get_target_embedding(self, target_audio, is_preprocess: bool = False,
+                             output_embedding_list: bool = False, **_):
+        """Robust enrollment embedding; list input → per-file embeddings
+        averaged (reference TargetASR.py:166-258)."""
+        if isinstance(target_audio, list):
+            embs = []
+            for a in target_audio:
+                audio, sr = self.input_audio_preprocess(a)
+                embs.append(self._enroll_one(audio, sr, is_preprocess))
+            embs = [e for e in embs if np.linalg.norm(e) > 0]
+            if not embs:
+                return np.zeros(192, np.float32)
+            return embs if output_embedding_list else np.mean(embs, axis=0)
+        audio, sr = self.input_audio_preprocess(target_audio)
+        emb = self._enroll_one(audio, sr, is_preprocess)
+        return [emb] if output_embedding_list else emb
+
+    def _enroll_one(self, audio: np.ndarray, sr: int, is_preprocess: bool):
+        if is_preprocess and self.ap.is_denoise_vocal:
+            audio = self.ap.denoise_vocal(audio, sr)
+        vad = self.asrp.vad_detection(audio, sr)
+        return self.spk.get_target_embedding(audio, sr=sr, vad_segments=vad or None)
+
+    def cosine_similarity(self, embedding_a, embedding_b) -> float:
+        return cosine_similarity(embedding_a, embedding_b)
+
+    def _best_similarity(self, emb, target_embedding) -> float:
+        """Max similarity vs a single embedding or a list of enrollments
+        (reference's list handling, TargetASR.py:322-334)."""
+        if isinstance(target_embedding, list):
+            if not target_embedding:
+                return 1.0
+            return max(cosine_similarity(emb, t) for t in target_embedding)
+        return cosine_similarity(emb, target_embedding)
+
+    def is_same_person(self, existed_embeddings, target_embedding,
+                       threshold: float = 0.4, verbose_result: bool = False):
+        if isinstance(existed_embeddings, np.ndarray):
+            existed_embeddings = [existed_embeddings]
+        mean_emb = np.mean(existed_embeddings, axis=0)
+        score = cosine_similarity(mean_emb, target_embedding)
+        if verbose_result:
+            return {"is_same": bool(score >= threshold), "score": round(score, 3)}
+        return bool(score >= threshold)
+
+    # ---------------- strategies ----------------
+
+    def _preprocess_chain(self, audio: np.ndarray, sr: int, steps: list):
+        if "vocal_denoise" in steps and self.ap.is_denoise_vocal:
+            audio = self.ap.denoise_vocal(audio, sr)
+        if "loudness_control" in steps:
+            audio = self.ap.audio_loudness_control(audio, sr)
+        return audio
+
+    def _vad(self, audio: np.ndarray, sr: int, more: dict) -> list:
+        if more.get("vad_model") == "none":
+            return [[0.0, round(len(audio) / sr, 3)]]
+        return self.asrp.vad_detection(audio, sr)
+
+    def target_speaker_asr(self, asr_audio, target_audio=None,
+                           target_embedding=None, threshold: float = 0.4,
+                           audio_input_type: str = "merge",
+                           is_output_audio: bool = False,
+                           more_args: dict | None = None) -> list:
+        """Time-domain gating: VAD clips scored vs the target embedding;
+        matching clips transcribed per-clip ("separate") or merged into
+        one utterance ("merge") — reference TargetASR.py:274-386."""
+        more = {"vad_model": "funasr", "asr_engine": None, "preprocess": [],
+                "prompt": ""}
+        more.update(more_args or {})
+        audio, sr = self.input_audio_preprocess(asr_audio)
+        audio = self._preprocess_chain(audio, sr, more["preprocess"])
+        vad = self._vad(audio, sr, more)
+        if not vad:
+            return []
+        if target_embedding is None:
+            if target_audio is None:
+                seed_clip = self.ap.split_audio_by_time(audio, sr, *vad[0])
+                target_embedding = self.spk.get_speaker_embedding(seed_clip, sr)
+            else:
+                target_embedding = self.get_target_embedding(target_audio)
+
+        clips, ranges = [], []
+        for s, e in vad:
+            clip = self.ap.split_audio_by_time(audio, sr, s, e)
+            if len(clip) < int(0.1 * sr):
+                continue
+            if "loudness_control" in more["preprocess"]:
+                clip = self.ap.audio_loudness_control(clip, sr)
+            clips.append(clip)
+            ranges.append([s, e])
+        if not clips:
+            return []
+        embs = self.spk.embed_batch(clips, sr=sr)  # one batched forward
+
+        result = []
+        merged, merged_ranges = [], []
+        for clip, rng, emb in zip(clips, ranges, embs):
+            if np.isnan(emb).any():
+                continue
+            score = self._best_similarity(emb, target_embedding)
+            if score < threshold:
+                continue
+            if audio_input_type == "separate":
+                text = self._asr_text(clip, sr, more)
+                result.append(self._entry(rng, text, score, sr,
+                                          clip if is_output_audio else None))
+            else:
+                merged.append(clip)
+                merged_ranges.append(rng)
+        if audio_input_type == "merge" and merged:
+            merged_audio = self.ap.combine_audio_chunks(merged)
+            text = self._asr_text(merged_audio, sr, more)
+            merge_emb = self.spk.get_speaker_embedding(merged_audio, sr)
+            score = self._best_similarity(merge_emb, target_embedding)
+            result.append(self._entry(
+                [merged_ranges[0][0], merged_ranges[-1][1]], text, score, sr,
+                merged_audio if is_output_audio else None))
+        return result
+
+    def target_speaker_separate_asr(self, asr_audio, target_audio=None,
+                                    target_embedding=None, threshold: float = 0.4,
+                                    is_output_asr: bool = True,
+                                    is_output_audio: bool = True,
+                                    more_args: dict | None = None) -> list:
+        """Frequency-domain routing: separate 2 sources, pick the one
+        matching the target — reference TargetASR.py:508-569."""
+        res = self._separate_and_score(asr_audio, target_audio, target_embedding,
+                                       threshold, more_args)
+        if res is None:
+            return []
+        (audio, sr, vad, scored) = res
+        (score, best_audio), _ = scored
+        if self.ap.is_restore_audio:
+            best_audio = self.ap.restore_audio(best_audio, sr)
+        text = self._asr_text(best_audio, sr, self._more(more_args)) if is_output_asr else ""
+        return [self._entry([vad[0][0], vad[-1][1]], text, score, sr,
+                            best_audio if is_output_audio else None)]
+
+    def multi_speakers_separate_asr(self, asr_audio, target_audio=None,
+                                    target_embedding=None, threshold: float = 0.4,
+                                    is_output_asr: bool = True,
+                                    is_output_audio: bool = True,
+                                    more_args: dict | None = None) -> list:
+        """Both separated sources transcribed: target first, then the
+        other speaker — reference TargetASR.py:571-656."""
+        more = self._more(more_args)
+        res = self._separate_and_score(asr_audio, target_audio, target_embedding,
+                                       threshold, more_args)
+        if res is None:
+            return []
+        (audio, sr, vad, scored) = res
+        (t_score, t_audio), (n_score, n_audio) = scored
+        if self.ap.is_restore_audio:
+            t_audio = self.ap.restore_audio(t_audio, sr)
+            n_audio = self.ap.restore_audio(n_audio, sr)
+        result = []
+        for score, out_audio in ((t_score, t_audio), (n_score, n_audio)):
+            sub_vad = self.asrp.vad_detection(out_audio, sr)
+            if not sub_vad:
+                continue
+            text = self._asr_text(out_audio, sr, more) if is_output_asr else ""
+            result.append(self._entry(
+                [sub_vad[0][0], sub_vad[-1][1]], text, score, sr,
+                out_audio if is_output_audio else None))
+        return result
+
+    def single_speaker_asr(self, asr_audio, is_output_audio: bool = False,
+                           more_args: dict | None = None) -> list:
+        """Plain ASR in the common result schema (TargetASR.py:658-686)."""
+        more = self._more(more_args)
+        audio, sr = self.input_audio_preprocess(asr_audio)
+        audio = self._preprocess_chain(audio, sr, more["preprocess"])
+        text = self._asr_text(audio, sr, more)
+        return [self._entry([0.0, round(len(audio) / sr, 2)], text, 1.0, sr,
+                            audio if is_output_audio else None)]
+
+    def batch_target_speaker_asr(self, asr_audio_list: list,
+                                 target_audio_list=None, prompt_list=None,
+                                 threshold: float = 0.4,
+                                 more_args: dict | None = None) -> list:
+        """Batch API: one enrollment, many files → list of joined texts
+        (reference TargetASR.py:388-430)."""
+        target_audio_list = target_audio_list or []
+        if isinstance(target_audio_list, str):
+            target_audio_list = [target_audio_list]
+        prompt_list = prompt_list or []
+        target_embedding = (
+            self.get_target_embedding(target_audio_list)
+            if target_audio_list else None
+        )
+        texts = []
+        for i, asr_audio in enumerate(asr_audio_list):
+            more = dict(more_args or {})
+            if len(prompt_list) == len(asr_audio_list):
+                more["prompt"] = prompt_list[i]
+            res = self.target_speaker_asr(
+                asr_audio, target_embedding=target_embedding,
+                threshold=threshold, more_args=more)
+            texts.append(" ".join(r["text"] for r in res if r.get("text")).strip())
+        return texts
+
+    def target_speaker_duration(self, input_audio, target_embedding=None,
+                                threshold: float = 0.4,
+                                more_args: dict | None = None) -> dict:
+        """{'target_duration': [...], 'others_duration': [...]}
+        (reference TargetASR.py:432-489)."""
+        more = self._more(more_args)
+        audio, sr = self.input_audio_preprocess(input_audio)
+        audio = self._preprocess_chain(audio, sr, more["preprocess"])
+        result = {"target_duration": [], "others_duration": []}
+        vad = self._vad(audio, sr, more)
+        if not vad or target_embedding is None:
+            return result
+        clips = [self.ap.split_audio_by_time(audio, sr, s, e) for s, e in vad]
+        keep = [i for i, c in enumerate(clips) if len(c) >= int(0.1 * sr)]
+        embs = self.spk.embed_batch([clips[i] for i in keep], sr=sr)
+        for i, emb in zip(keep, embs):
+            if np.isnan(emb).any():
+                continue
+            score = self._best_similarity(emb, target_embedding)
+            if threshold <= score < 1.0:
+                result["target_duration"].append(vad[i])
+            elif score < threshold:
+                result["others_duration"].append(vad[i])
+        return result
+
+    def mix_audio_processor(self, audio, target_embedding=None,
+                            similarity_threshold: float = 0.4,
+                            loudness_threshold: float = -40.0) -> dict:
+        """Streaming helper: classify a chunk noise/single/multi and
+        extract the target source (reference TargetASR.py:688-744)."""
+        audio_data, sr = self.input_audio_preprocess(audio)
+        result = {"audio": audio_data, "sampling_rate": sr,
+                  "type": "noise", "score": 0.0}
+        duration = len(audio_data) / sr
+        if duration >= 0.4:
+            loudness = self.ap.meter_loudness(audio_data, sr)
+            if loudness <= loudness_threshold:
+                return result
+            audio_data = self.ap.denoise_vocal(audio_data, sr)
+            audio_data = self.ap.audio_loudness_control(audio_data, sr)
+        sd = {}
+        if self.asrp.diarizer is not None:
+            sd = self.asrp.speaker_diarization(audio_data, sr)
+            sd = {seg[2] for seg in sd.get("text", [])}
+        if not sd:
+            vad = self.asrp.vad_detection(audio_data, sr)
+            speaker_type = "single" if vad else "noise"
+        elif len(sd) == 1:
+            speaker_type = "single"
+        else:
+            speaker_type = "multi"
+        result["type"] = speaker_type
+        if speaker_type == "noise":
+            result["audio"] = np.full(len(audio_data), 1e-5, np.float32)
+            return result
+        if speaker_type == "single":
+            result.update(audio=audio_data, score=1.0)
+            return result
+        if target_embedding is None:
+            result.update(audio=audio_data, score=0.0)
+            return result
+        spk1, spk2 = self.ap.separate_speaker(audio_data, sr)
+        embs = self.spk.embed_batch([spk1, spk2], sr=sr)
+        s1 = cosine_similarity(embs[0], target_embedding)
+        s2 = cosine_similarity(embs[1], target_embedding)
+        result["score"] = round(max(s1, s2), 3)
+        if s1 < similarity_threshold and s2 < similarity_threshold:
+            result["audio"] = audio_data
+        else:
+            result["audio"] = spk1 if s1 >= s2 else spk2
+        return result
+
+    # ---------------- internals ----------------
+
+    def _more(self, more_args: dict | None) -> dict:
+        more = {"vad_model": "funasr", "asr_engine": None, "preprocess": [],
+                "prompt": "", "no_punc": True}
+        more.update(more_args or {})
+        return more
+
+    def _separate_and_score(self, asr_audio, target_audio, target_embedding,
+                            threshold: float, more_args: dict | None):
+        more = self._more(more_args)
+        audio, sr = self.input_audio_preprocess(asr_audio)
+        audio = self._preprocess_chain(audio, sr, more["preprocess"])
+        vad = self._vad(audio, sr, more)
+        if not vad:
+            return None
+        if target_embedding is None:
+            if target_audio is None:
+                seed_clip = self.ap.split_audio_by_time(audio, sr, *vad[0])
+                target_embedding = self.spk.get_speaker_embedding(seed_clip, sr)
+            else:
+                t_audio, t_sr = self.input_audio_preprocess(target_audio)
+                target_embedding = self.spk.get_speaker_embedding(t_audio, t_sr)
+        spk1, spk2 = self.ap.separate_speaker(audio, sr)
+        embs = self.spk.embed_batch([spk1, spk2], sr=sr)
+        s1 = self._best_similarity(embs[0], target_embedding)
+        s2 = self._best_similarity(embs[1], target_embedding)
+        if s1 < threshold and s2 < threshold:
+            return None
+        if s1 >= s2:
+            scored = ((round(s1, 2), spk1), (round(s2, 2), spk2))
+        else:
+            scored = ((round(s2, 2), spk2), (round(s1, 2), spk1))
+        return audio, sr, vad, scored
+
+    def _asr_text(self, audio: np.ndarray, sr: int, more: dict) -> str:
+        res = self.asrp.asr_detection(
+            audio, sr, asr_engine=more.get("asr_engine"),
+            prompt=more.get("prompt", ""), no_punc=more.get("no_punc", True))
+        return res[0]["text"] if res else ""
+
+    @staticmethod
+    def _entry(timerange, text, score, sr, audio) -> dict:
+        return {
+            "timerange": [round(float(timerange[0]), 3), round(float(timerange[1]), 3)],
+            "text": text,
+            "score": round(float(score), 2),
+            "sampling_rate": sr,
+            "audio": audio if audio is not None else np.array([], np.float32),
+        }
