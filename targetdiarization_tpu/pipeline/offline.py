@@ -377,7 +377,12 @@ class TargetDiarization:
                 gap = int((item["timerange"][0] - cursor) * sr)
                 if gap > 0:
                     pieces.append(np.zeros(gap, np.float32))
-                pieces.append(np.asarray(item["audio"], np.float32))
+                clip = item.get("audio")
+                if clip is None:  # streaming results may omit audio
+                    clip = np.zeros(
+                        int((item["timerange"][1] - item["timerange"][0]) * sr),
+                        np.float32)
+                pieces.append(np.asarray(clip, np.float32))
                 cursor = item["timerange"][1]
             item.pop("audio", None)
             result.append(item)

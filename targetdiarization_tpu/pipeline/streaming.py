@@ -1,0 +1,281 @@
+"""TargetDiarizationStream: chunked real-time pipeline (L4 streaming).
+
+TPU-native re-creation of the reference's streaming subclass
+(/root/reference/TargetDiarizationStream.py:13): generator-driven loop
+with smart VAD buffering, loudness gating, speaker-change flush and
+streaming self-enrollment. Differences by design:
+
+- silero-vad is replaced by our FSMN VADEngine everywhere
+  (SURVEY.md §2.3 consolidation).
+- ALL mutable stream state lives in a per-call `StreamState`, fixing the
+  reference's shared-instance race where two concurrent WebSocket
+  sessions corrupt each other's `self.vad_buffer`/`current_time`
+  (SURVEY.md §5.2 sharp edge).
+- every chunk hits pre-compiled fixed-shape programs (1 s chunks →
+  one fbank/VAD/embedding bucket each), so after warmup the loop never
+  recompiles (BASELINE.md no-recompile invariant).
+
+Flush-rule cascade (reference should_wait_for_next_chunk :110-171):
+  R1 buffer ≥ max_buffer_duration → flush
+  R2 silence chunk + trailing gap ≥ vad_min_silence → flush
+  R3 no speech in chunk → zero-substitute, wait
+  R4 speech-complete gap → flush
+  R5 speaker change between buffer and chunk → flush
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from dataclasses import dataclass, field
+from typing import Generator, Union
+
+import numpy as np
+
+from .offline import TargetDiarization
+
+
+@dataclass
+class StreamState:
+    """Per-session mutable state (one per infer_stream call)."""
+
+    current_time: float = 0.0
+    target_embedding: np.ndarray | None = None
+    prev_asr_text: str = ""
+    vad_buffer: list = field(default_factory=list)
+    buffer_duration: float = 0.0
+    system_loudness_diff: float = 0.0
+
+    def clear_buffer(self):
+        self.vad_buffer.clear()
+        self.buffer_duration = 0.0
+
+
+class TargetDiarizationStream(TargetDiarization):
+    def __init__(self, is_vad_buffer: bool = True, use_asr_prompt: bool = False,
+                 similarity_threshold: float = 0.4, vad_min_silence: float = 0.3,
+                 max_buffer_duration: float = 30.0,
+                 loudness_diff_threshold: float = 12.0, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.is_vad_buffer = is_vad_buffer
+        self.use_asr_prompt = use_asr_prompt
+        self.similarity_threshold = similarity_threshold
+        self.vad_min_silence = vad_min_silence
+        self.max_buffer_duration = max_buffer_duration
+        self.loudness_diff_threshold = loudness_diff_threshold
+
+    # ---------------- preprocessing ----------------
+
+    def chunk_preprocess(self, audio_data: np.ndarray, sampling_rate: int
+                         ) -> np.ndarray:
+        """mono → f32 → 16 kHz (reference :37-41)."""
+        audio_data = self.ap.audio_to_mono(np.asarray(audio_data))
+        if audio_data.dtype.kind == "i":
+            audio_data = self.ap.int16_to_float32(audio_data)
+        audio_data, _ = self.ap.audio_resample(
+            audio_data.astype(np.float32), sampling_rate, 16000)
+        return audio_data
+
+    # ---------------- main loop ----------------
+
+    def infer_stream(self, audio_stream_generator: Generator,
+                     target_file: Union[str, np.ndarray, io.BytesIO, None] = None,
+                     sampling_rate: int = 16000, is_single: bool = False,
+                     output_target_audio: bool = False):
+        """Yields (target_spk, asr_result, target_audio) per flushed
+        segment (reference :44-78)."""
+        state = StreamState()
+        if target_file is not None:
+            if not isinstance(target_file, np.ndarray):
+                target_audio, sampling_rate = self.ap.read_audio(target_file)
+            else:
+                target_audio = target_file.copy()
+            if len(target_audio) / sampling_rate >= 1.0:
+                target_loudness = self.ap.meter_loudness(target_audio, sampling_rate)
+                if np.isfinite(target_loudness):
+                    state.system_loudness_diff = target_loudness + 23.0
+                target_audio = self.audio_preprocess(
+                    target_audio, sampling_rate, stream_mode=True,
+                    output_audio_only=True)
+                t_vad = self.tasr.asrp.vad_detection(target_audio, 16000)
+                if t_vad:
+                    start, end = t_vad[0][0], t_vad[-1][1]
+                    if end - start < 4.0:
+                        print("WARNING: The valid speaking duration of target "
+                              "audio is less than 4s. This may cause a bad result.")
+                    target_audio = self.ap.split_audio_by_time(
+                        target_audio, 16000, start, end)
+                state.target_embedding = self.tasr.get_target_embedding(
+                    target_audio)
+        try:
+            for pcm_chunk in audio_stream_generator:
+                chunk = self.chunk_preprocess(pcm_chunk, sampling_rate)
+                for result in self.process_vad_chunk(chunk, is_single, state):
+                    asr_result, target_audio = self.asr_audio_parser(
+                        [result], "1", output_target_audio)
+                    yield "1", asr_result, target_audio
+        finally:
+            if state.vad_buffer:
+                combined = np.concatenate(state.vad_buffer)
+                for result in self.process_single_chunk(combined, is_single, state):
+                    asr_result, target_audio = self.asr_audio_parser(
+                        [result], "1", output_target_audio)
+                    yield "1", asr_result, target_audio
+                state.clear_buffer()
+
+    # ---------------- buffering ----------------
+
+    def process_vad_chunk(self, pcm_chunk: np.ndarray, is_single: bool,
+                          state: StreamState):
+        """Buffer router (reference :81-107)."""
+        if pcm_chunk is None or len(pcm_chunk) == 0:
+            return
+        is_silence = False
+        if state.system_loudness_diff != 0.0:
+            loud = self.ap.meter_loudness(pcm_chunk, 16000)
+            gate = -23.0 + state.system_loudness_diff - self.loudness_diff_threshold
+            if loud < gate:
+                is_silence = True
+                pcm_chunk = np.full_like(pcm_chunk, 1e-5, dtype=np.float32)
+            self._log(f"PCM loudness: {loud} | {gate}")
+        state.vad_buffer.append(pcm_chunk)
+        state.buffer_duration += round(len(pcm_chunk) / 16000, 3)
+        if not self.is_vad_buffer:
+            if is_silence:
+                return
+            current = state.vad_buffer[-1]
+            yield from self.process_single_chunk(current, is_single, state)
+            state.clear_buffer()
+            return
+        if self.should_wait_for_next_chunk(state, is_silence=is_silence):
+            return
+        combined = np.concatenate(state.vad_buffer)
+        yield from self.process_single_chunk(combined, is_single, state)
+        state.clear_buffer()
+
+    def should_wait_for_next_chunk(self, state: StreamState,
+                                   is_silence: bool = False) -> bool:
+        """Flush decision cascade R1..R5 (reference :110-171)."""
+
+        def trailing_gap_ok(audio: np.ndarray, vad_result: list) -> bool:
+            if not vad_result:
+                return True
+            silence = len(audio) / 16000 - vad_result[-1][-1]
+            return silence >= self.vad_min_silence
+
+        # R1: buffer cap
+        if state.buffer_duration >= self.max_buffer_duration:
+            self._log("Buffer duration exceeds max_buffer_duration, processing")
+            return False
+        if not state.vad_buffer:
+            return True
+        combined = np.concatenate(state.vad_buffer)
+        # whole-buffer VAD (silero's role, via our FSMN engine)
+        buffer_vad = self.tasr.asrp.vad_detection(
+            combined, 16000, max_end_silence_time=0.1)
+        chunk_vad = self.tasr.asrp.vad_detection(state.vad_buffer[-1], 16000)
+        # R2: silence chunk
+        if is_silence:
+            if trailing_gap_ok(combined, buffer_vad):
+                self._log("Silence with sufficient gap, processing")
+                return False
+            return True
+        # R3: no speech in current chunk → zero-substitute and wait
+        if not chunk_vad:
+            state.vad_buffer[-1] = np.full_like(
+                state.vad_buffer[-1], 1e-5, dtype=np.float32)
+            return True
+        # R4: speech-complete gap
+        if trailing_gap_ok(combined, buffer_vad):
+            self._log("Speech appears complete, processing")
+            return False
+        # R5: speaker change
+        if len(state.vad_buffer) > 1:
+            prev_audio = np.concatenate(state.vad_buffer[:-1])
+            embs = self.tasr.spk.embed_batch(
+                [prev_audio, state.vad_buffer[-1]])
+            if not self.tasr.is_same_person(
+                    embs[0], embs[1], threshold=self.similarity_threshold):
+                self._log("Different speaker detected, processing")
+                return False
+            return True
+        return True
+
+    # ---------------- per-segment processing ----------------
+
+    def process_single_chunk(self, pcm_chunk: np.ndarray, is_single: bool,
+                             state: StreamState):
+        """Overlap check + streaming ASR (reference :174-186)."""
+        is_overlap = False
+        if self.od_pipeline is not None and not is_single:
+            is_overlap = self.od_pipeline.is_overlap(pcm_chunk, sr=16000)
+        result = self.asr_audio_streaming(pcm_chunk, is_overlap, state)
+        if result is not None:
+            state.prev_asr_text = result["text"]
+            yield result
+
+    def asr_audio_streaming(self, audio_data: np.ndarray,
+                            is_overlap: bool, state: StreamState,
+                            is_output_audio: bool = False):
+        """Streaming segment ASR with self-enrollment (reference :189-258)."""
+
+        def remove_punc(text: str) -> str:
+            return re.sub(r"[^\w\s]", "", text or "").lower().strip()
+
+        duration = round(len(audio_data) / 16000, 3)
+        if duration < 0.4:
+            return None
+        segment_start = state.current_time
+        state.current_time += duration
+        more_args = {"asr_engine": self.asr_engine, "no_punc": False,
+                     "preprocess": []}
+        if self.use_asr_prompt and state.prev_asr_text:
+            more_args["prompt"] = state.prev_asr_text
+
+        if state.target_embedding is None:
+            # first speech chunk self-enrolls the target speaker
+            loud = self.ap.meter_loudness(audio_data, 16000)
+            if np.isfinite(loud):
+                state.system_loudness_diff = loud + 23.0
+            audio_data = self.audio_preprocess(
+                audio_data, 16000, stream_mode=True, output_audio_only=True)
+            state.target_embedding = self.tasr.spk.get_speaker_embedding(
+                audio_data, 16000)
+            is_overlap = False
+        else:
+            audio_data = self.audio_preprocess(
+                audio_data, 16000, stream_mode=True, output_audio_only=True)
+        loud = self.ap.meter_loudness(audio_data, 16000)
+        if loud < -23.0 + state.system_loudness_diff - self.loudness_diff_threshold:
+            return None
+        vad_result = self.tasr.asrp.vad_detection(audio_data, 16000)
+        if not vad_result:
+            return None
+
+        if is_overlap:
+            clips = self.tasr.multi_speakers_separate_asr(
+                audio_data, target_embedding=state.target_embedding,
+                more_args=more_args, is_output_audio=True)
+        else:
+            clips = self.tasr.single_speaker_asr(
+                audio_data, more_args=more_args, is_output_audio=True)
+        if not clips:
+            return None
+        if len(clips) > 1:
+            clips.sort(key=lambda x: len(remove_punc(x["text"])), reverse=True)
+        text = clips[0]["text"].strip()
+        if not text:
+            return None
+        timerange = [segment_start + vad_result[0][0],
+                     segment_start + vad_result[-1][-1]]
+        segment_audio = clips[0]["audio"] if is_overlap else audio_data
+        seg_emb = self.tasr.spk.get_speaker_embedding(segment_audio, 16000)
+        is_target = self.tasr.is_same_person(
+            seg_emb, state.target_embedding, threshold=self.similarity_threshold)
+        return {
+            "speaker": "1" if is_target else "0",
+            "timerange": timerange,
+            "text": text,
+            "type": "overlap" if is_overlap else "single",
+            "audio": segment_audio if is_output_audio else None,
+        }

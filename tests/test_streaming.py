@@ -1,0 +1,134 @@
+"""Streaming pipeline tests: buffering rules, per-session state, E2E loop."""
+
+import numpy as np
+import pytest
+
+from targetdiarization_tpu.models.asr import ASREngine, Paraformer
+from targetdiarization_tpu.models.diarization import SegmentationEngine, SegmentationNet
+from targetdiarization_tpu.models.speaker import SpeakerEngine
+from targetdiarization_tpu.models.tokenizer import CharTokenizer
+from targetdiarization_tpu.pipeline.streaming import StreamState, TargetDiarizationStream
+from targetdiarization_tpu.pipeline.target_asr import TargetASR
+from targetdiarization_tpu.processors.asr import ASRProcessor
+from targetdiarization_tpu.processors.audio import AudioProcessor
+
+
+@pytest.fixture(scope="module")
+def stream_pipeline():
+    tok = CharTokenizer(vocab=["<blank>", "<s>", "</s>", "<unk>"] + list("abc一二三"))
+    asrp = ASRProcessor()
+    asrp.asr = ASREngine(
+        model=Paraformer(vocab_size=len(tok), dim=32, ffn=64, enc_layers=2,
+                         dec_layers=1),
+        tokenizer=tok,
+    )
+    tasr = TargetASR(audio_processor=AudioProcessor(), asr_processor=asrp,
+                     speaker_engine=SpeakerEngine(model_name="eres2net"))
+    seg = SegmentationEngine(model=SegmentationNet(n_layers=1), seed=1)
+    return TargetDiarizationStream(
+        target_asr=tasr, segmentation_engine=seg, vad_min_silence=0.3,
+        max_buffer_duration=4.0)
+
+
+def chunk_generator(audio, sr, chunk_s=1.0):
+    n = int(chunk_s * sr)
+    for i in range(0, len(audio), n):
+        yield audio[i: i + n]
+
+
+class TestChunkPreprocess:
+    def test_int16_and_resample(self, stream_pipeline):
+        chunk = (np.random.default_rng(0).standard_normal(8000) * 1000).astype(
+            np.int16)
+        out = stream_pipeline.chunk_preprocess(chunk, 8000)
+        assert out.dtype == np.float32
+        assert abs(len(out) - 16000) <= 1
+
+
+class TestFlushRules:
+    def test_r1_buffer_cap(self, stream_pipeline):
+        state = StreamState()
+        state.buffer_duration = 5.0  # > max 4.0
+        state.vad_buffer = [np.zeros(16000, np.float32)]
+        assert stream_pipeline.should_wait_for_next_chunk(state) is False
+
+    def test_empty_buffer_waits(self, stream_pipeline):
+        state = StreamState()
+        assert stream_pipeline.should_wait_for_next_chunk(state) is True
+
+    def test_r3_no_speech_zero_substitute(self, stream_pipeline, monkeypatch):
+        state = StreamState()
+        state.vad_buffer = [np.ones(16000, np.float32) * 0.1]
+        state.buffer_duration = 1.0
+        calls = []
+
+        def fake_vad(audio, sr=16000, **kw):
+            calls.append(len(audio))
+            return []  # no speech anywhere
+
+        monkeypatch.setattr(stream_pipeline.tasr.asrp, "vad_detection", fake_vad)
+        assert stream_pipeline.should_wait_for_next_chunk(state) is True
+        # chunk was replaced by near-silence
+        assert np.all(state.vad_buffer[-1] == np.float32(1e-5))
+
+    def test_r4_speech_complete_flush(self, stream_pipeline, monkeypatch):
+        state = StreamState()
+        state.vad_buffer = [np.ones(32000, np.float32) * 0.1]
+        state.buffer_duration = 2.0
+
+        def fake_vad(audio, sr=16000, **kw):
+            # speech ends at 1.0 s in a 2.0 s buffer → gap 1.0 ≥ 0.3
+            return [[0.0, 1.0]]
+
+        monkeypatch.setattr(stream_pipeline.tasr.asrp, "vad_detection", fake_vad)
+        assert stream_pipeline.should_wait_for_next_chunk(state) is False
+
+    def test_r5_speaker_change_flush(self, stream_pipeline, monkeypatch):
+        state = StreamState()
+        state.vad_buffer = [np.ones(16000, np.float32) * 0.1,
+                            np.ones(16000, np.float32) * 0.1]
+        state.buffer_duration = 2.0
+
+        def fake_vad(audio, sr=16000, **kw):
+            return [[0.0, len(audio) / 16000]]  # speech to the very end
+
+        monkeypatch.setattr(stream_pipeline.tasr.asrp, "vad_detection", fake_vad)
+        monkeypatch.setattr(
+            stream_pipeline.tasr.spk, "embed_batch",
+            lambda clips, sr=16000: np.eye(2, 192, dtype=np.float32))  # orthogonal
+        assert stream_pipeline.should_wait_for_next_chunk(state) is False
+
+
+class TestStateIsolation:
+    def test_concurrent_sessions_do_not_share_state(self, stream_pipeline,
+                                                    chat_mix):
+        """Two interleaved infer_stream generators keep separate buffers
+        (the reference's known race, SURVEY.md §5.2, fixed here)."""
+        audio, sr = chat_mix
+        g1 = stream_pipeline.infer_stream(chunk_generator(audio[: 2 * sr], sr))
+        g2 = stream_pipeline.infer_stream(chunk_generator(audio[: 2 * sr], sr))
+        out1 = list(g1)
+        out2 = list(g2)
+        # both sessions produce independent (possibly empty) results
+        assert isinstance(out1, list) and isinstance(out2, list)
+
+
+class TestEndToEnd:
+    def test_stream_yields_contract(self, stream_pipeline, chat_mix, female_a):
+        audio, sr = chat_mix
+        tgt, _ = female_a
+        results = list(stream_pipeline.infer_stream(
+            chunk_generator(audio, sr), target_file=np.asarray(tgt),
+            sampling_rate=sr))
+        for target_spk, asr_result, target_audio in results:
+            assert target_spk == "1"
+            for item in asr_result:
+                assert set(item) >= {"speaker", "timerange", "text", "type"}
+                assert item["speaker"] in ("0", "1")
+                assert item["type"] in ("single", "overlap")
+
+    def test_monotonic_timeranges(self, stream_pipeline, chat_mix):
+        audio, sr = chat_mix
+        results = list(stream_pipeline.infer_stream(chunk_generator(audio, sr)))
+        starts = [item["timerange"][0] for _, res, _ in results for item in res]
+        assert starts == sorted(starts)
