@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: full TargetDiarization.infer on the reference
+fixture, production-size models, real device.
+
+Prints ONE JSON line on stdout:
+    {"metric": "e2e_rtfx", "value": N, "unit": "x_realtime", "vs_baseline": N}
+
+- metric: end-to-end real-time factor (audio seconds per wall second) of
+  the full pipeline (preprocess → VAD → diarize → overlap-refine →
+  separate → embed → ASR → assemble) on assets/chat_mix.wav.
+- vs_baseline: value / 50 — the driver-set target of ≥50× real time on
+  one TPU v5e chip (BASELINE.md).
+
+Diagnostics (per-stage timings, device, compile time) go to stderr so
+stdout stays machine-parseable. BENCH_FAST=1 shrinks the models for a
+quick smoke run; BENCH_REPEAT sets the number of timed runs (default 2,
+best counted).
+"""
+
+import contextlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def _fast_params(model, *args, **kw):
+    from targetdiarization_tpu.runtime.params import fast_init
+
+    return fast_init(model, *args, **kw)
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache: warmup compiles amortize across
+    bench invocations on the same machine."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_pipeline(fast: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from targetdiarization_tpu.models.asr import ASREngine, Paraformer
+    from targetdiarization_tpu.models.diarization import (
+        SegmentationEngine,
+        SegmentationNet,
+    )
+    from targetdiarization_tpu.models.punctuation import (
+        CTTransformerPunc,
+        PunctuationEngine,
+    )
+    from targetdiarization_tpu.models.separation import MossFormer2, SeparationEngine
+    from targetdiarization_tpu.models.speaker import SpeakerEngine
+    from targetdiarization_tpu.models.tokenizer import CharTokenizer
+    from targetdiarization_tpu.pipeline.offline import TargetDiarization
+    from targetdiarization_tpu.pipeline.target_asr import TargetASR
+    from targetdiarization_tpu.processors.asr import ASRProcessor
+    from targetdiarization_tpu.processors.audio import AudioProcessor
+
+    log(f"devices: {jax.devices()}")
+    tok = CharTokenizer()
+    if fast:
+        asr_model = Paraformer(vocab_size=len(tok), dim=64, ffn=128,
+                               enc_layers=2, dec_layers=1)
+        sep_model = MossFormer2(dim=64, enc_channels=64, num_blocks=2,
+                                group_size=64, qk_dim=32)
+        spk_name = "eres2net"
+        punc_model = CTTransformerPunc(vocab_size=len(tok), dim=64, ffn=128,
+                                       n_layers=1)
+    else:
+        # production geometry: paraformer-large-ish ASR, full MossFormer2
+        asr_model = Paraformer(vocab_size=len(tok), enc_layers=50, dec_layers=16)
+        sep_model = MossFormer2()
+        spk_name = "eres2netv2_large"
+        punc_model = CTTransformerPunc(vocab_size=len(tok))
+
+    # zero-init params via eval_shape: values are irrelevant to wall-clock,
+    # and real initializers over the device tunnel dominate build time
+    ap = AudioProcessor()
+    ap.separator = SeparationEngine(
+        model=sep_model,
+        params=_fast_params(sep_model,
+                            jnp.zeros((1, sep_model.kernel_size
+                                       * sep_model.group_size))))
+    asrp = ASRProcessor()
+    asrp.asr = ASREngine(
+        model=asr_model, tokenizer=tok,
+        params=_fast_params(asr_model, jnp.zeros((1, 16, 560)),
+                            jnp.ones((1, 16))))
+    asrp.punc = PunctuationEngine(
+        model=punc_model, tokenizer=tok,
+        params=_fast_params(punc_model, jnp.zeros((1, 16), jnp.int32),
+                            jnp.ones((1, 16))))
+    from targetdiarization_tpu.models.speaker import _MODEL_PRESETS, ERes2NetV2, CAMPlusPlus
+
+    preset = _MODEL_PRESETS[spk_name]
+    spk_model = {"ERes2NetV2": ERes2NetV2,
+                 "CAMPlusPlus": CAMPlusPlus}[preset["cls"]](**preset["args"])
+    spk = SpeakerEngine(
+        model=spk_model, model_name=spk_name,
+        params=_fast_params(spk_model, jnp.zeros((1, 100, 80)),
+                            jnp.array([100])))
+    tasr = TargetASR(audio_processor=ap, asr_processor=asrp,
+                     speaker_engine=spk)
+    seg_model = SegmentationNet()
+    seg = SegmentationEngine(
+        model=seg_model,
+        params=_fast_params(seg_model, jnp.zeros((1, 100, 80)),
+                            jnp.array([100])))
+    return TargetDiarization(target_asr=tasr, segmentation_engine=seg)
+
+
+def main():
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    wav = "/root/reference/assets/chat_mix.wav"
+    target = "/root/reference/assets/female_a.wav"
+    if not os.path.exists(wav):
+        wav = os.path.join(os.path.dirname(__file__), "assets", "chat_mix.wav")
+        target = os.path.join(os.path.dirname(__file__), "assets", "female_a.wav")
+
+    from targetdiarization_tpu.utils.audio_io import read_audio
+
+    enable_compile_cache()
+    audio, sr = read_audio(wav)
+    duration = len(np.asarray(audio)) / sr
+    log(f"fixture: {wav} ({duration:.2f}s @ {sr} Hz), fast={fast}")
+
+    # keep stdout clean for the single JSON line: all pipeline prints
+    # (warnings, verbose logs) go to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        t0 = time.time()
+        td = build_pipeline(fast)
+        log(f"pipeline built in {time.time() - t0:.1f}s")
+
+        # warmup: compiles every (stage, bucket) program
+        t0 = time.time()
+        td.infer(wav, target_file=target, output_target_audio=False)
+        log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
+
+        best = float("inf")
+        for i in range(repeat):
+            t0 = time.time()
+            td.infer(wav, target_file=target, output_target_audio=False)
+            wall = time.time() - t0
+            log(f"run {i}: {wall:.2f}s")
+            best = min(best, wall)
+
+    rtfx = duration / best
+    print(json.dumps({
+        "metric": "e2e_rtfx",
+        "value": round(rtfx, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 50.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

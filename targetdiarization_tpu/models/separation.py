@@ -252,7 +252,7 @@ class GatedFsmnBlock(nn.Module):
     """conv1×1 → PReLU → cLN → gated FSMN (v ⊙ fsmn(u) + x) → cLN → conv1×1 → residual."""
 
     dim: int
-    inner: int = 256
+    inner: int = 256  # reference GatedFSMNBlockDilated inner_channels
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -279,6 +279,7 @@ class MaskNet(nn.Module):
     num_spks: int = 2
     group_size: int = 256
     qk_dim: int = 128
+    fsmn_inner: int = 256
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -299,7 +300,7 @@ class MaskNet(nn.Module):
                 qk_dim=self.qk_dim,
                 name=f"flash_{i}",
             )(h, mask, deterministic)
-            h = GatedFsmnBlock(dim=self.dim, name=f"fsmn_{i}")(h, mask, deterministic)
+            h = GatedFsmnBlock(dim=self.dim, inner=self.fsmn_inner, name=f"fsmn_{i}")(h, mask, deterministic)
         h = nn.LayerNorm(epsilon=1e-6, name="out_ln")(h)
         alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
         h = jnp.where(h >= 0, h, alpha * h)
@@ -323,6 +324,7 @@ class MossFormer2(nn.Module):
     num_spks: int = 2
     group_size: int = 256
     qk_dim: int = 128
+    fsmn_inner: int = 256
     sample_rate: int = 16000
 
     @nn.compact
@@ -356,6 +358,7 @@ class MossFormer2(nn.Module):
             num_spks=self.num_spks,
             group_size=self.group_size,
             qk_dim=self.qk_dim,
+            fsmn_inner=self.fsmn_inner,
             name="mask_net",
         )(x, mask, deterministic)
 

@@ -97,6 +97,42 @@ def save_checkpoint_orbax(path: str, params, model_name: str, model_args=None):
     ckpt.wait_until_finished()
 
 
+def fast_init(model, *example_args, **example_kwargs):
+    """Zero-initialize a flax model's params WITHOUT running the real
+    initializers on device: eval_shape gives the pytree of shapes, then
+    one fused zeros-allocation per leaf. Orders of magnitude faster than
+    model.init over a remote-device tunnel; used by benchmarks where
+    parameter values are irrelevant to performance."""
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *example_args,
+                           **example_kwargs))
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def save_pytree(path: str, tree, name: str = "state"):
+    """Serialize an ARBITRARY pytree (dicts, lists, optax NamedTuples…)
+    by leaf order; restore with `restore_pytree` against a structurally
+    identical template. Used for trainer state (params + opt state)."""
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves(jax.device_get(tree))
+    np.savez(
+        os.path.join(path, f"{name}_leaves.npz"),
+        **{f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+
+
+def restore_pytree(path: str, like, name: str = "state"):
+    """Load leaves saved by save_pytree into the structure of `like`."""
+    with np.load(os.path.join(path, f"{name}_leaves.npz")) as z:
+        leaves = [jnp.asarray(z[f"leaf_{i:05d}"]) for i in range(len(z.files))]
+    treedef = jax.tree_util.tree_structure(like)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, template has "
+            f"{treedef.num_leaves}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def param_count(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 

@@ -1,0 +1,111 @@
+"""Separation evaluation metrics + CSV logging harness.
+
+Equivalent capability to look2hear/metrics/wrapper.py:28-199: per-example
+SI-SNR(i), SDR(i) and a CSV report. (The reference additionally wraps
+PESQ/STOI/DNSMOS/SigMOS, which are external compiled/ONNX models; here
+the natively-computable metrics are first-class and an STOI-style
+band-correlation proxy is provided.)
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .losses import si_sdr, snr
+
+
+def sdr(est, ref) -> float:
+    """Plain SDR (SNR of the residual against the reference)."""
+    return float(np.mean(np.asarray(snr(jnp.asarray(est), jnp.asarray(ref)))))
+
+
+def si_snr(est, ref) -> float:
+    return float(np.mean(np.asarray(si_sdr(jnp.asarray(est), jnp.asarray(ref)))))
+
+
+def si_snr_i(est, ref, mix) -> float:
+    """SI-SNR improvement over the unprocessed mixture."""
+    base = si_snr(np.broadcast_to(np.asarray(mix), np.asarray(ref).shape), ref)
+    return si_snr(est, ref) - base
+
+
+def sdr_i(est, ref, mix) -> float:
+    base = sdr(np.broadcast_to(np.asarray(mix), np.asarray(ref).shape), ref)
+    return sdr(est, ref) - base
+
+
+def stoi_proxy(est, ref, sr: int = 16000) -> float:
+    """Short-time octave-band envelope correlation in [0, 1] — an
+    intelligibility proxy in the spirit of STOI (not the licensed
+    reference implementation)."""
+    from ..ops.stft import stft
+
+    n_fft, hop = 512, 128
+    e = np.abs(np.asarray(stft(jnp.asarray(np.asarray(est, np.float32)), n_fft, hop)))
+    r = np.abs(np.asarray(stft(jnp.asarray(np.asarray(ref, np.float32)), n_fft, hop)))
+    # 15 one-third-octave-ish log-spaced bands from 150 Hz
+    edges = np.unique(
+        (np.geomspace(150, sr / 2 * 0.9, 16) / (sr / 2) * (n_fft // 2)).astype(int)
+    )
+    cors = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        if hi <= lo:
+            continue
+        eb = e[lo:hi].sum(axis=0)
+        rb = r[lo:hi].sum(axis=0)
+        if eb.std() < 1e-9 or rb.std() < 1e-9:
+            continue
+        cors.append(np.corrcoef(eb, rb)[0, 1])
+    if not cors:
+        return 0.0
+    return float(np.clip(np.mean(cors), 0.0, 1.0))
+
+
+class MetricsTracker:
+    """Accumulate per-example metrics and write a CSV report
+    (reference wrapper.py CSV logging :48-51, 156-199)."""
+
+    FIELDS = ("key", "si_snr", "si_snr_i", "sdr", "sdr_i", "stoi_proxy")
+
+    def __init__(self, save_path: str | None = None):
+        self.rows: list = []
+        self.save_path = save_path
+
+    def update(self, key: str, est, ref, mix):
+        row = {
+            "key": key,
+            "si_snr": round(si_snr(est, ref), 3),
+            "si_snr_i": round(si_snr_i(est, ref, mix), 3),
+            "sdr": round(sdr(est, ref), 3),
+            "sdr_i": round(sdr_i(est, ref, mix), 3),
+            "stoi_proxy": round(stoi_proxy(np.asarray(est).ravel(),
+                                           np.asarray(ref).ravel()), 3),
+        }
+        self.rows.append(row)
+        return row
+
+    def summary(self) -> dict:
+        if not self.rows:
+            return {}
+        return {
+            f: round(float(np.mean([r[f] for r in self.rows])), 3)
+            for f in self.FIELDS
+            if f != "key"
+        }
+
+    def write_csv(self, path: str | None = None) -> str:
+        path = path or self.save_path
+        if not path:
+            raise ValueError("no CSV path given")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self.FIELDS)
+            writer.writeheader()
+            writer.writerows(self.rows)
+            summary = {"key": "mean", **self.summary()}
+            writer.writerow(summary)
+        return path

@@ -14,7 +14,8 @@ from targetdiarization_tpu.models.separation import (
 
 
 def tiny_model(**over):
-    kw = dict(dim=32, enc_channels=32, num_blocks=2, group_size=64, qk_dim=32)
+    kw = dict(dim=32, enc_channels=32, num_blocks=2, group_size=64, qk_dim=32,
+              fsmn_inner=16)
     kw.update(over)
     return MossFormer2(**kw)
 
