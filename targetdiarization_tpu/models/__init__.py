@@ -18,3 +18,8 @@ through torch/onnxruntime/funasr/modelscope/pyannote (SURVEY.md §2.3/§2.5):
 """
 
 from . import features  # noqa: F401
+
+# Eager imports so every architecture is in the registry before any
+# from_pretrained dispatch (registration happens at import time).
+from . import vad, speaker, diarization, separation, restoration  # noqa: F401,E402
+from . import denoise, asr, punctuation, zoo  # noqa: F401,E402

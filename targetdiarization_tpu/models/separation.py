@@ -405,9 +405,12 @@ class SeparationEngine:
         self.model = model or MossFormer2()
         self.window = window or self.WINDOW
         if params is None:
+            # example length: one attention group for MossFormer2-style
+            # models, a fixed short window for other zoo separators
+            k = getattr(self.model, "kernel_size", 16)
+            g = getattr(self.model, "group_size", 100)
             params = self.model.init(
-                jax.random.PRNGKey(seed),
-                jnp.zeros((1, self.model.kernel_size * self.model.group_size)),
+                jax.random.PRNGKey(seed), jnp.zeros((1, max(k * g, 1600)))
             )
         self.params = params
         self._apply = jax.jit(

@@ -1,0 +1,70 @@
+"""Model-zoo tests: every registered separator honors the (B,T)→(B,S,T)
+contract and round-trips through the checkpoint registry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from targetdiarization_tpu.models import zoo
+from targetdiarization_tpu.runtime.registry import list_models
+
+TINY = {
+    "ConvTasNet": dict(enc_channels=32, bottleneck=16, hidden=32,
+                       n_blocks=2, n_repeats=1),
+    "DPRNNTasNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20,
+                        n_layers=1),
+    "DPTNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20, n_layers=1),
+    "SkiMNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20, n_layers=1),
+    "SuDORMRF": dict(enc_channels=16, dim=16, n_blocks=1),
+    "TDANet": dict(enc_channels=16, dim=16, depth=2, n_blocks=1),
+    "BSRNN": dict(n_bands=4, dim=16, hidden=16, n_layers=1),
+    "TFGridNet": dict(dim=8, hidden=16, n_layers=1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TINY))
+def test_separator_contract(name, rng):
+    cls = getattr(zoo, name)
+    model = cls(**TINY[name])
+    t = 2000
+    wav = jnp.asarray(rng.standard_normal((2, t)) * 0.1, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), wav)
+    est = model.apply(params, wav)
+    assert est.shape == (2, 2, t), name
+    assert np.all(np.isfinite(np.asarray(est))), name
+
+
+def test_all_registered():
+    registered = set(list_models())
+    for name in TINY:
+        assert name in registered
+
+
+def test_registry_roundtrip(tmp_path, rng):
+    from targetdiarization_tpu.runtime.params import save_checkpoint
+    from targetdiarization_tpu.runtime.registry import from_pretrained
+
+    model = zoo.ConvTasNet(**TINY["ConvTasNet"])
+    wav = jnp.zeros((1, 800))
+    params = model.init(jax.random.PRNGKey(0), wav)
+    save_checkpoint(str(tmp_path / "c"), params, "ConvTasNet", TINY["ConvTasNet"])
+    # call-site class irrelevance: load via registry gives ConvTasNet back
+    loaded, lparams = from_pretrained(str(tmp_path / "c"))
+    est = loaded.apply(lparams, wav)
+    assert est.shape == (1, 2, 800)
+
+
+def test_trainer_accepts_zoo_model(rng):
+    """Any zoo model slots into the DP trainer unchanged."""
+    from targetdiarization_tpu.train import SeparationTrainer, TrainConfig
+
+    model = zoo.ConvTasNet(**TINY["ConvTasNet"])
+    trainer = SeparationTrainer(model, cfg=TrainConfig(save_every=0),
+                                example_seconds=0.05)
+    batch = {
+        "mix": rng.standard_normal((8, 800)).astype(np.float32),
+        "src": rng.standard_normal((8, 2, 800)).astype(np.float32),
+    }
+    state, metrics = trainer._train_step(trainer.state, trainer._place(batch))
+    assert np.isfinite(float(metrics["loss"]))
