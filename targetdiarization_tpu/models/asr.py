@@ -16,11 +16,11 @@ through ASRProcessor (ASRProcessor.py:210-252, asr_detection :373-528):
   tokens prepended to the frame sequence (rich transcription tags the
   reference strips by regex, ASRProcessor.py:395-396).
 
-TPU design notes: the whole forward is static-shape — audio is bucketed
-(frames ladder), the CIF scan runs a fixed T steps and scatters into a
-fixed U_max token buffer; everything jits once per bucket. The CIF scan
-is sequential over LFR frames (T/6 ≈ 100 steps/min of audio) but each
-step is O(B·D) — negligible next to the encoder matmuls.
+TPU design notes: the whole forward is static-shape — raw audio is
+bucketed on a sample ladder and fbank+LFR+CMVN run INSIDE the one jitted
+program per bucket (one device dispatch per utterance), decoding happens
+on device (argmax before transfer), and CIF uses a parallel closed form
+(one matmul) instead of a sequential scan — see cif_fire.
 """
 
 from __future__ import annotations
@@ -150,14 +150,31 @@ class CIFPredictor(nn.Module):
             # training-time scaling so sum(alphas) == target token count
             total = jnp.maximum(jnp.sum(alphas, axis=1, keepdims=True), 1e-6)
             alphas = alphas / total * target_len[:, None]
+        # CIF integration runs in fp32 regardless of compute dtype: the
+        # threshold-crossing accumulator is precision-sensitive (bf16
+        # epsilons shift fire positions and change token counts)
         tokens, fires, fire_frames, n_tokens = cif_fire(
-            enc, alphas, self.threshold
+            enc.astype(jnp.float32), alphas.astype(jnp.float32), self.threshold
         )
+        tokens = tokens.astype(enc.dtype)
         return tokens, fires, alphas, fire_frames, n_tokens
 
 
 def cif_fire(hidden: jnp.ndarray, alphas: jnp.ndarray, threshold: float = 1.0):
-    """CIF integration scan.
+    """CIF integration, PARALLEL closed form.
+
+    The textbook CIF is a sequential accumulate-and-fire loop; as a
+    lax.scan it costs T sequential TPU steps (~0.5 ms each — the scan
+    dominated ASR latency). But each fire subtracts exactly `threshold`,
+    so with c[j] = cumsum(alphas)[j], token k integrates precisely the
+    alpha mass of the interval [k·thr, (k+1)·thr) on the cumulative axis:
+
+        w[k, j] = clip(min(c[j], (k+1)·thr) − max(c[j−1], k·thr), 0)
+        token_k = Σ_j (w[k, j] / thr) · h_j
+        fire_frame_k = first j with c[j] ≥ (k+1)·thr
+
+    which is one (U×T)·(T×D) matmul on the MXU plus elementwise work —
+    fully parallel, bit-equivalent to the scan (tested side by side).
 
     hidden: (B, T, D), alphas: (B, T) ≥0. Returns:
       tokens      (B, U, D) padded acoustic token embeddings (U = T)
@@ -166,36 +183,27 @@ def cif_fire(hidden: jnp.ndarray, alphas: jnp.ndarray, threshold: float = 1.0):
       n_tokens    (B,) token counts
     """
     b, t, d = hidden.shape
-
-    def step(carry, x):
-        acc, frame = carry  # (B,), (B, D)
-        a, h = x  # (B,), (B, D)
-        new_acc = acc + a
-        fire = new_acc >= threshold
-        a1 = jnp.where(fire, threshold - acc, a)
-        frame_full = frame + a1[:, None] * h
-        token = jnp.where(fire[:, None], frame_full, 0.0)
-        acc_out = jnp.where(fire, new_acc - threshold, new_acc)
-        frame_out = jnp.where(fire[:, None], (a - a1)[:, None] * h, frame_full)
-        return (acc_out, frame_out), (token, fire)
-
-    (_, _), (tokens_t, fires_t) = jax.lax.scan(
-        step,
-        (jnp.zeros(b), jnp.zeros((b, d))),
-        (alphas.swapaxes(0, 1), hidden.swapaxes(0, 1)),
-    )
-    tokens_t = tokens_t.swapaxes(0, 1)  # (B, T, D) nonzero only at fires
-    fires = fires_t.swapaxes(0, 1)  # (B, T)
-
-    # compact fired tokens to the front of a (B, U=T, D) buffer
-    pos = jnp.cumsum(fires.astype(jnp.int32), axis=1) - 1  # target slot
-    pos = jnp.where(fires, pos, t)  # parked in an overflow slot
-    tokens = jnp.zeros((b, t + 1, d), hidden.dtype)
-    tokens = tokens.at[jnp.arange(b)[:, None], pos].set(tokens_t)[:, :t]
-    frame_idx = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
-    fire_frames = jnp.full((b, t + 1), -1, jnp.int32)
-    fire_frames = fire_frames.at[jnp.arange(b)[:, None], pos].set(frame_idx)[:, :t]
-    n_tokens = jnp.sum(fires.astype(jnp.int32), axis=1)
+    csum = jnp.cumsum(alphas, axis=1)  # (B, T)
+    prev = csum - alphas
+    k = jnp.arange(t, dtype=csum.dtype)  # token slots (U = T)
+    lo = k[None, :, None] * threshold  # (1, U, 1)
+    hi = lo + threshold
+    # overlap of [prev_j, csum_j] with [k·thr, (k+1)·thr)
+    w = jnp.clip(
+        jnp.minimum(csum[:, None, :], hi) - jnp.maximum(prev[:, None, :], lo),
+        0.0,
+    )  # (B, U, T)
+    tokens = jnp.einsum("but,btd->bud", w / threshold, hidden)
+    n_tokens = jnp.floor(csum[:, -1] / threshold + 1e-6).astype(jnp.int32)
+    # fire mask / frames: fire at j iff c[j] crosses a new multiple of thr
+    fires = jnp.floor(csum / threshold + 1e-6) > jnp.floor(
+        prev / threshold + 1e-6)
+    # first frame where csum ≥ (k+1)·thr
+    crossed = (csum[:, None, :] >= hi - 1e-6).astype(jnp.int32)  # (B, U, T)
+    fire_frames = t - jnp.sum(crossed, axis=-1)  # index of first crossing
+    valid = k[None, :] < n_tokens[:, None]
+    fire_frames = jnp.where(valid, fire_frames, -1).astype(jnp.int32)
+    tokens = jnp.where(valid[..., None], tokens, 0.0)
     return tokens, fires, fire_frames, n_tokens
 
 
@@ -287,8 +295,8 @@ EVENTS = ["Speech", "BGM", "Applause", "Laughter", "Cough", "Sneeze", "Breath", 
 
 # ---------------- engine ----------------
 
-_FRAME_LADDER = BucketLadder(
-    tuple(int(s * 100 / LFR_N) for s in (1, 2, 4, 8, 16, 30, 60))
+_SAMPLE_LADDER = BucketLadder(
+    tuple(int(s * 16000) for s in (1, 2, 4, 8, 16, 30, 60))
 )
 
 
@@ -330,7 +338,8 @@ class ASREngine:
     """Bucketed jitted ASR with the reference's result contract."""
 
     def __init__(self, params=None, model=None, tokenizer: CharTokenizer | None = None,
-                 engine: str = "paraformer", seed: int = 0, cmvn=None):
+                 engine: str = "paraformer", seed: int = 0, cmvn=None,
+                 compute_dtype: str | None = None):
         self.tokenizer = tokenizer or CharTokenizer()
         if model is None:
             if engine == "sensevoice":
@@ -350,7 +359,40 @@ class ASREngine:
                 jnp.ones((1, t0)),
             )
         self.params = params
-        self._apply = jax.jit(lambda p, f, m: self.model.apply(p, f, m))
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+
+        def _fwd(p, audio, n_frames):
+            # ONE device dispatch per utterance: fbank + LFR + CMVN and
+            # the model forward run inside a single jitted program (each
+            # extra dispatch costs a host-link round trip), and decoding
+            # happens ON DEVICE — transferring (U, vocab≈21k) logits over
+            # the host link costs ~20 MB ≈ 450 ms per call.
+            feats = features.fbank(audio)
+            feats = features.lfr(feats, LFR_M, LFR_N)
+            if self.cmvn is not None:
+                feats = features.apply_cmvn(
+                    feats, jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]))
+            t = feats.shape[1]
+            mask = (jnp.arange(t)[None, :] < n_frames[:, None]).astype(jnp.float32)
+            feats_c, mask_c = cast_inputs(self.compute_dtype, feats, mask)
+            out = self.model.apply(p, feats_c, mask_c)
+            if "ctc_logits" in out:
+                return {
+                    "ctc_ids": jnp.argmax(out["ctc_logits"], axis=-1),
+                    "lang_id": jnp.argmax(out["lang_logits"], axis=-1),
+                    "emotion_id": jnp.argmax(out["emotion_logits"], axis=-1),
+                    "event_id": jnp.argmax(out["event_logits"], axis=-1),
+                }
+            return {
+                "ids": jnp.argmax(out["logits"], axis=-1),
+                "n_tokens": out["n_tokens"],
+                "fire_frames": out["fire_frames"],
+            }
+
+        self._apply = jax.jit(_fwd)
 
     @classmethod
     def from_pretrained(cls, path: str) -> "ASREngine":
@@ -377,31 +419,36 @@ class ASREngine:
         """[{'text': ..., 'timestamp': [[ms, ms], ...]}] — the contract
         TargetDiarization consumes (reference ASRProcessor.py:373-528)."""
         audio = np.asarray(audio, np.float32)
-        feats = self._frontend(audio, sr)
-        t = feats.shape[0]
-        if t == 0:
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            audio = resample_poly_np(audio, 16000, sr)
+            sr = 16000
+        n_frames_valid = features.num_frames(len(audio), sr)
+        if n_frames_valid == 0:
             return [{"text": "", "timestamp": []}]
-        bucket = _FRAME_LADDER.bucket(t)
-        padded = pad_to(feats, bucket, axis=0)[None]
-        mask = np.zeros((1, bucket), np.float32)
-        mask[0, :t] = 1.0
-        out = self._apply(self.params, jnp.asarray(padded), jnp.asarray(mask))
+        t = -(-n_frames_valid // LFR_N)  # LFR frame count of the real audio
+        bucket = _SAMPLE_LADDER.bucket(len(audio))
+        padded = pad_to(audio, bucket)[None]
+        # ONE bulk transfer for every output (per-item np.asarray costs
+        # a separate host-link round trip each)
+        out = jax.device_get(
+            self._apply(self._params_c, jnp.asarray(padded), jnp.asarray([t])))
 
         if self.engine == "sensevoice":
-            ids = np.asarray(jnp.argmax(out["ctc_logits"][0, :t], axis=-1))
+            ids = out["ctc_ids"][0, :t]
             toks = ctc_greedy(ids, self.tokenizer.blank_id)
             text = self.tokenizer.decode(toks)
-            lang = LANGS[int(np.argmax(np.asarray(out["lang_logits"][0])))]
-            emo = EMOTIONS[int(np.argmax(np.asarray(out["emotion_logits"][0])))]
-            ev = EVENTS[int(np.argmax(np.asarray(out["event_logits"][0])))]
+            lang = LANGS[int(out["lang_id"][0])]
+            emo = EMOTIONS[int(out["emotion_id"][0])]
+            ev = EVENTS[int(out["event_id"][0])]
             raw = f"<|{lang}|><|{emo}|><|{ev}|>{text}"
             return [ASRResult(text=text, timestamp=[], raw_text=raw,
                               language=lang, emotion=emo, event=ev).to_dict()]
 
         n_tok = int(out["n_tokens"][0])
-        logits = np.asarray(out["logits"][0, :n_tok])
-        fire_frames = np.asarray(out["fire_frames"][0, :n_tok])
-        ids = logits.argmax(axis=-1) if n_tok else np.zeros(0, np.int64)
+        fire_frames = out["fire_frames"][0, :n_tok]
+        ids = out["ids"][0, :n_tok] if n_tok else np.zeros(0, np.int64)
         text = self.tokenizer.decode(ids)
         ts = fire_frames_to_timestamps(fire_frames, t)
         # drop timestamps for ids decoded to empty (specials)

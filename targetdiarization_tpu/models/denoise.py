@@ -158,7 +158,8 @@ class DenoiseEngine:
     """MDX-style vocal isolation with reference-compatible chunking."""
 
     def __init__(self, params=None, model: TDFUNet | None = None, seed: int = 0,
-                 hop: int = 1024, is_inst_model: bool = True):
+                 hop: int = 1024, is_inst_model: bool = True,
+                 compute_dtype: str | None = None):
         self.model = model or TDFUNet()
         self.hop = hop
         self.is_inst_model = is_inst_model  # vocals = mix − prediction
@@ -167,7 +168,16 @@ class DenoiseEngine:
                 jax.random.PRNGKey(seed), jnp.zeros((1, 4, DIM_F, DIM_T))
             )
         self.params = params
-        self._apply = jax.jit(lambda p, s: self.model.apply(p, s))
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+
+        def _fwd(p, spec):
+            (spec_c,) = cast_inputs(self.compute_dtype, spec)
+            return f32(self.model.apply(p, spec_c))
+
+        self._apply = jax.jit(_fwd)
 
     @classmethod
     def from_pretrained(cls, path: str, hop: int = 1024) -> "DenoiseEngine":
@@ -196,7 +206,7 @@ class DenoiseEngine:
             cursor += gen_size
         batch = jnp.asarray(np.stack(waves))  # (W, 2, chunk)
         spec = mdx_stft(batch, self.hop)
-        pred = self._apply(self.params, spec)
+        pred = self._apply(self._params_c, spec)
         wav = np.asarray(mdx_istft(pred, self.hop))  # (W, 2, chunk)
         out = wav[:, :, trim:-trim].transpose(1, 0, 2).reshape(2, -1)[:, : n_sample]
         out = out.T

@@ -99,7 +99,7 @@ class SegmentationNet(nn.Module):
         return jax.nn.sigmoid(logits) * m2[..., None]  # (B, T', K)
 
 
-_SEG_LADDER = BucketLadder(tuple(int(s * 100) for s in (1, 2, 4, 8, 16, 30)))
+_SEG_LADDER = BucketLadder(tuple(int(s * 16000) for s in (1, 2, 4, 8, 16, 30)))
 
 
 @dataclass
@@ -113,7 +113,8 @@ class BinarizeConfig:
 class SegmentationEngine:
     """pyannote-equivalent: activations, per-slot diarization, overlap."""
 
-    def __init__(self, params=None, model: SegmentationNet | None = None, seed: int = 0):
+    def __init__(self, params=None, model: SegmentationNet | None = None, seed: int = 0,
+                 compute_dtype: str | None = None):
         self.model = model or SegmentationNet()
         if params is None:
             params = self.model.init(
@@ -122,7 +123,17 @@ class SegmentationEngine:
                 jnp.array([100]),
             )
         self.params = params
-        self._apply = jax.jit(lambda p, f, l: self.model.apply(p, f, l))
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+
+        def _fwd(p, audio, n_frames):
+            feats = features.fbank(audio)  # fused into the one dispatch
+            (feats_c,) = cast_inputs(self.compute_dtype, feats)
+            return f32(self.model.apply(p, feats_c, n_frames))
+
+        self._apply = jax.jit(_fwd)
 
     @classmethod
     def from_pretrained(cls, path: str) -> "SegmentationEngine":
@@ -138,13 +149,17 @@ class SegmentationEngine:
     def activations(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
         """(T', K) per-slot speech activity in [0,1] at `self.fps`."""
         audio = np.asarray(audio, np.float32)
-        feats = np.asarray(features.fbank(jnp.asarray(audio), sr=sr))
-        t = feats.shape[0]
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            audio = resample_poly_np(audio, 16000, sr)
+            sr = 16000
+        t = features.num_frames(len(audio), sr)
         if t == 0:
             return np.zeros((0, self.model.max_speakers), np.float32)
-        bucket = _SEG_LADDER.bucket(t)
-        padded = pad_to(feats, bucket, axis=0)[None]
-        act = self._apply(self.params, jnp.asarray(padded), jnp.array([t]))
+        bucket = _SEG_LADDER.bucket(len(audio))
+        padded = pad_to(audio, bucket)[None]
+        act = self._apply(self._params_c, jnp.asarray(padded), jnp.array([t]))
         t_out = max(t // self.model.downsample, 1)
         return np.asarray(act[0, :t_out])
 

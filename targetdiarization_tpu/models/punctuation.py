@@ -59,7 +59,8 @@ _TOKEN_LADDER = BucketLadder((16, 32, 64, 128, 256, 512, 1024))
 
 class PunctuationEngine:
     def __init__(self, params=None, model: CTTransformerPunc | None = None,
-                 tokenizer: CharTokenizer | None = None, seed: int = 0):
+                 tokenizer: CharTokenizer | None = None, seed: int = 0,
+                 compute_dtype: str | None = None):
         self.tokenizer = tokenizer or CharTokenizer()
         self.model = model or CTTransformerPunc(vocab_size=len(self.tokenizer))
         if params is None:
@@ -69,7 +70,16 @@ class PunctuationEngine:
                 jnp.ones((1, 16)),
             )
         self.params = params
-        self._apply = jax.jit(lambda p, i, m: self.model.apply(p, i, m))
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+
+        def _fwd(p, ids, mask):
+            (mask_c,) = cast_inputs(self.compute_dtype, mask)
+            return f32(self.model.apply(p, ids, mask_c))
+
+        self._apply = jax.jit(_fwd)
 
     @classmethod
     def from_pretrained(cls, path: str) -> "PunctuationEngine":
@@ -91,7 +101,7 @@ class PunctuationEngine:
         mask = np.zeros(bucket, np.float32)
         mask[:n] = 1.0
         logits = self._apply(
-            self.params, jnp.asarray(arr)[None], jnp.asarray(mask)[None]
+            self._params_c, jnp.asarray(arr)[None], jnp.asarray(mask)[None]
         )
         return np.asarray(jnp.argmax(logits[0, :n], axis=-1))
 

@@ -248,7 +248,8 @@ class RestorationEngine:
     wav_chunk_inference overlap-add, separator.py:72-131)."""
 
     def __init__(self, params=None, model: Apollo | None = None, seed: int = 0,
-                 window_s: float = 6.0, hop_s: float = 3.0):
+                 window_s: float = 6.0, hop_s: float = 3.0,
+                 compute_dtype: str | None = None):
         self.model = model or Apollo()
         self.window = int(window_s * self.model.sr)
         self.hop = int(hop_s * self.model.sr)
@@ -257,7 +258,12 @@ class RestorationEngine:
                 jax.random.PRNGKey(seed), jnp.zeros((1, self.model.win * 4))
             )
         self.params = params
-        self._apply = jax.jit(lambda p, w: self.model.apply(p, w))
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+        # STFT/iSTFT inside Apollo need fp32 signal; only params are bf16
+        self._apply = jax.jit(lambda p, w: f32(self.model.apply(p, w)))
 
     @classmethod
     def from_pretrained(cls, path: str) -> "RestorationEngine":
@@ -280,7 +286,7 @@ class RestorationEngine:
             else audio
         )
         chunks, n = chunk_signal(jnp.asarray(work), self.window, self.hop)
-        est = self._apply(self.params, chunks)
+        est = self._apply(self._params_c, chunks)
         out = np.asarray(merge_chunks(est, n, self.hop, window_fn="tri"))
         if sr != self.model.sr:
             out = resample_poly_np(out, sr, self.model.sr)

@@ -401,7 +401,7 @@ class SeparationEngine:
     WINDOW = 160_000
 
     def __init__(self, params=None, model: MossFormer2 | None = None, seed: int = 0,
-                 window: int | None = None):
+                 window: int | None = None, compute_dtype: str | None = None):
         self.model = model or MossFormer2()
         self.window = window or self.WINDOW
         if params is None:
@@ -413,9 +413,16 @@ class SeparationEngine:
                 jax.random.PRNGKey(seed), jnp.zeros((1, max(k * g, 1600)))
             )
         self.params = params
-        self._apply = jax.jit(
-            lambda p, w, l: self.model.apply(p, w, l, deterministic=True)
-        )
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+
+        def _fwd(p, wav, lengths):
+            (wav_c,) = cast_inputs(self.compute_dtype, wav)
+            return f32(self.model.apply(p, wav_c, lengths, deterministic=True))
+
+        self._apply = jax.jit(_fwd)
 
     @classmethod
     def from_pretrained(cls, path: str) -> "SeparationEngine":
@@ -441,7 +448,7 @@ class SeparationEngine:
         batch = padded.reshape(n_win, win)
         lengths = np.full(n_win, win, np.int64)
         lengths[-1] = n - (n_win - 1) * win if n % win else win
-        est = np.asarray(self._apply(self.params, jnp.asarray(batch), jnp.asarray(lengths)))
+        est = np.asarray(self._apply(self._params_c, jnp.asarray(batch), jnp.asarray(lengths)))
         # stitch windows back (non-overlapping concat, reference behavior)
         streams = est.transpose(1, 0, 2).reshape(self.model.num_spks, -1)[:, :n]
         # order by loudness: louder stream first (AudioProcessor.py:949-952)

@@ -30,13 +30,14 @@ import numpy as np
 
 from ..runtime.buckets import BucketLadder, pad_to
 from ..runtime.registry import register_model
+from ..runtime.trace import trace
 from . import features
 
 EMBED_DIM = 192
 MAX_EMBED_SECONDS = 30.0  # reference truncates SV input at 30 s (TargetASR.py:222-224)
 
-# time-frame ladder for embedding forwards (fbank frames @100 fps)
-_FRAME_LADDER = BucketLadder(tuple(int(s * 100) for s in (1, 2, 4, 8, 16, 30)))
+# sample ladder for embedding forwards (1..30 s @16 kHz)
+_SAMPLE_LADDER = BucketLadder(tuple(int(s * 16000) for s in (1, 2, 4, 8, 16, 30)))
 
 
 def _time_mask(lengths, t, dtype=jnp.float32):
@@ -267,6 +268,7 @@ class SpeakerEngine:
         model: nn.Module | None = None,
         model_name: str = "eres2netv2_large",
         seed: int = 0,
+        compute_dtype: str | None = None,
     ):
         if model is None:
             preset = _MODEL_PRESETS[model_name]
@@ -282,9 +284,22 @@ class SpeakerEngine:
             )
             params = variables
         self.params = params
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
 
-        def _embed(params, feats, lengths):
-            return self.model.apply(params, feats, lengths, train=False)
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+
+        def _embed(params, audio, n_frames):
+            # fbank + per-utterance CMN + forward in ONE dispatch
+            feats = features.fbank(audio)  # (B, T, 80)
+            t = feats.shape[1]
+            fmask = (jnp.arange(t)[None, :] < n_frames[:, None]).astype(
+                jnp.float32)[..., None]
+            mean = jnp.sum(feats * fmask, axis=1, keepdims=True) / jnp.maximum(
+                jnp.sum(fmask, axis=1, keepdims=True), 1.0)
+            feats = (feats - mean) * fmask
+            (feats_c,) = cast_inputs(self.compute_dtype, feats)
+            return f32(self.model.apply(params, feats_c, n_frames, train=False))
 
         self._embed = jax.jit(_embed)
 
@@ -297,40 +312,35 @@ class SpeakerEngine:
 
     # -------- embedding extraction --------
 
-    def _forward_feats(self, feats_list: list) -> np.ndarray:
-        """Batch variable-length fbank segments through bucketed forwards."""
-        out = np.zeros((len(feats_list), EMBED_DIM), np.float32)
+    def embed_batch(self, audios: list, sr: int = 16000) -> np.ndarray:
+        """(N, 192) embeddings for a list of audio arrays: one padded
+        batched device dispatch per sample bucket (fbank + CMN + forward
+        fused in the jitted program)."""
+        max_n = int(MAX_EMBED_SECONDS * sr)
+        clips = []
+        for a in audios:
+            a = np.asarray(a, np.float32).ravel()[:max_n]
+            if sr != 16000 and a.size:
+                from ..ops.resample import resample_poly_np
+
+                a = resample_poly_np(a, 16000, sr)
+            clips.append(a)
+        out = np.zeros((len(clips), EMBED_DIM), np.float32)
         by_bucket: dict = {}
-        for i, f in enumerate(feats_list):
-            t = f.shape[0]
-            if t == 0:
+        for i, a in enumerate(clips):
+            if features.num_frames(len(a)) == 0:
                 continue  # zero-embedding fallback (reference TargetASR.py:204)
-            by_bucket.setdefault(_FRAME_LADDER.bucket(t), []).append(i)
+            by_bucket.setdefault(_SAMPLE_LADDER.bucket(len(a)), []).append(i)
         for bucket, idxs in by_bucket.items():
-            batch = np.stack(
-                [pad_to(np.asarray(feats_list[i][:bucket]), bucket, axis=0) for i in idxs]
-            )
-            lengths = np.array([min(feats_list[i].shape[0], bucket) for i in idxs])
-            emb = self._embed(self.params, jnp.asarray(batch), jnp.asarray(lengths))
-            emb = np.asarray(emb)
+            batch = np.stack([pad_to(clips[i], bucket) for i in idxs])
+            n_frames = np.array(
+                [features.num_frames(len(clips[i])) for i in idxs])
+            with trace(f"speaker/embed_bucket_{bucket}"):
+                emb = np.asarray(self._embed(
+                    self._params_c, jnp.asarray(batch), jnp.asarray(n_frames)))
             for j, i in enumerate(idxs):
                 out[i] = emb[j]
         return out
-
-    def embed_batch(self, audios: list, sr: int = 16000) -> np.ndarray:
-        """(N, 192) embeddings for a list of audio arrays (one padded
-        batched forward per bucket — the MXU-friendly path)."""
-        max_n = int(MAX_EMBED_SECONDS * sr)
-        feats = []
-        for a in audios:
-            a = np.asarray(a, np.float32)[:max_n]
-            if a.size < int(features.FRAME_LEN_S * sr):
-                feats.append(np.zeros((0, 80), np.float32))
-            else:
-                # per-utterance cepstral mean normalization (SV convention)
-                f = np.asarray(features.fbank(jnp.asarray(a), sr=sr))
-                feats.append(f - f.mean(axis=0, keepdims=True))
-        return self._forward_feats(feats)
 
     def get_speaker_embedding(self, audio, sr: int = 16000) -> np.ndarray:
         """Single-utterance 192-d embedding (zero vector on too-short

@@ -112,14 +112,15 @@ class VADConfig:
     max_clip_sec: float = 0.0  # split clips longer than this (0 = off)
 
 
-# frame ladder: 1 s .. 30 s of 100 fps frames
-_FRAME_LADDER = BucketLadder(tuple(int(s * 100) for s in (1, 2, 4, 8, 16, 30)))
+# sample ladder: 1 s .. 30 s @16 kHz
+_SAMPLE_LADDER = BucketLadder(tuple(int(s * 16000) for s in (1, 2, 4, 8, 16, 30)))
 
 
 class VADEngine:
     """High-level VAD API: probabilities, segments, streaming state."""
 
-    def __init__(self, params=None, model: FsmnVADNet | None = None, seed: int = 0):
+    def __init__(self, params=None, model: FsmnVADNet | None = None, seed: int = 0,
+                 compute_dtype: str | None = None):
         self.model = model or FsmnVADNet()
         if params is None:
             rng = jax.random.PRNGKey(seed)
@@ -127,10 +128,18 @@ class VADEngine:
                 rng, jnp.zeros((1, 100, self.model.in_dim)), jnp.array([100])
             )
         self.params = params
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
 
-        def _probs(params, feats, lengths):
-            logits = self.model.apply(params, feats, lengths)
-            return jax.nn.softmax(logits, axis=-1)[..., 1]
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        self._params_c = cast_params(params, self.compute_dtype)
+
+        def _probs(params, audio, n_frames):
+            # fbank + forward in ONE dispatch (host-link round trips
+            # dominate per-chunk latency through the TPU tunnel)
+            feats = features.fbank(audio)
+            (feats_c,) = cast_inputs(self.compute_dtype, feats)
+            logits = self.model.apply(params, feats_c, n_frames)
+            return f32(jax.nn.softmax(logits, axis=-1)[..., 1])
 
         self._probs = jax.jit(_probs)
 
@@ -146,13 +155,17 @@ class VADEngine:
     def frame_probs(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
         """Speech probability per 10 ms frame, on device, bucketed."""
         audio = np.asarray(audio, np.float32)
-        feats = np.asarray(features.fbank(jnp.asarray(audio), sr=sr))
-        t = feats.shape[0]
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            audio = resample_poly_np(audio, 16000, sr)
+            sr = 16000
+        t = features.num_frames(len(audio), sr)
         if t == 0:
             return np.zeros(0, np.float32)
-        bucket = _FRAME_LADDER.bucket(t)
-        feats = pad_to(feats, bucket, axis=0)[None]
-        probs = self._probs(self.params, jnp.asarray(feats), jnp.array([t]))
+        bucket = _SAMPLE_LADDER.bucket(len(audio))
+        padded = pad_to(audio, bucket)[None]
+        probs = self._probs(self._params_c, jnp.asarray(padded), jnp.array([t]))
         return np.asarray(probs[0, :t])
 
     # ---------------- offline segmentation ----------------

@@ -1,0 +1,112 @@
+"""Fused FLASH grouped quadratic attention (Pallas TPU kernel).
+
+MossFormer2's hot op (SURVEY.md §7.2 step 7): per group of `g` frames,
+
+    A = relu(Q Kᵀ / g)² ⊙ mask          (g, g)
+    out_v = A V ;  out_u = A U          (g, e)
+
+Under plain XLA the (B·G, g, g) attention tensor round-trips through HBM
+between the two matmuls. This kernel keeps A in VMEM: one grid step per
+(batch·group) computes Q Kᵀ on the MXU, applies relu²+mask on the VPU,
+and immediately contracts against BOTH V and U — A is never written out.
+With the production shapes (g=256, d_qk=128, e=1024) the working set is
+~3.3 MB of VMEM, well under the ~16 MB budget, and every matmul is a
+multiple of the 128×128 MXU tile.
+
+`flash_group_attention` auto-selects: real Pallas on TPU, interpreter
+mode elsewhere (exact same kernel semantics, used by CPU CI), and the
+jnp reference implementation is exported for equivalence tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def flash_group_attention_reference(q, k, v, u, mask):
+    """jnp reference: q,k (B,G,g,d); v,u (B,G,g,e); mask (B,G,1,g)."""
+    g = q.shape[-2]
+    sim = jnp.einsum("bgid,bgjd->bgij", q, k) / g
+    attn = jnp.square(jax.nn.relu(sim)) * mask
+    out_v = jnp.einsum("bgij,bgje->bgie", attn, v)
+    out_u = jnp.einsum("bgij,bgje->bgie", attn, u)
+    return out_v, out_u
+
+
+def _kernel(q_ref, k_ref, v_ref, u_ref, mask_ref, outv_ref, outu_ref):
+    # block shapes carry a leading singleton (one grid step per group)
+    g = q_ref.shape[1]
+    q, k = q_ref[0], k_ref[0]           # (g, d)
+    v, u = v_ref[0], u_ref[0]           # (g, e)
+    m = mask_ref[0]                     # (1, g) → broadcasts over rows
+    sim = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (1.0 / g)
+    attn = jnp.square(jnp.maximum(sim, 0.0)) * m  # (g, g), stays in VMEM
+    outv_ref[0] = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+    outu_ref[0] = jnp.dot(attn, u, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _flash_pallas(q, k, v, u, mask, interpret: bool = False):
+    b, n_groups, g, d = q.shape
+    e = v.shape[-1]
+    bg = b * n_groups
+    qf = q.reshape(bg, g, d)
+    kf = k.reshape(bg, g, d)
+    vf = v.reshape(bg, g, e)
+    uf = u.reshape(bg, g, e)
+    mf = jnp.broadcast_to(mask, (b, n_groups, 1, g)).reshape(bg, 1, g)
+
+    grid = (bg,)
+
+    def idx(i):
+        return (i, 0, 0)
+
+    out_v, out_u = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, e), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, e), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, e), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, e), idx, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bg, g, e), jnp.float32),
+            jax.ShapeDtypeStruct((bg, g, e), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bg * (g * g * d + 2 * g * g * e),
+            bytes_accessed=4 * bg * (2 * g * d + 4 * g * e + g),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, uf, mf)
+    return out_v.reshape(b, n_groups, g, e), out_u.reshape(b, n_groups, g, e)
+
+
+def flash_group_attention(q, k, v, u, mask, use_pallas: bool | None = None):
+    """Grouped relu² attention with shared A applied to V and U.
+
+    q, k: (B, G, g, d); v, u: (B, G, g, e); mask: (B, G, 1, g).
+    use_pallas: None = auto (Pallas on TPU, jnp elsewhere);
+    True on non-TPU runs the kernel in interpreter mode (tests).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+        if not use_pallas:
+            return flash_group_attention_reference(q, k, v, u, mask)
+        return _flash_pallas(q, k, v, u, mask, interpret=False)
+    if use_pallas:
+        interpret = jax.default_backend() != "tpu"
+        return _flash_pallas(q, k, v, u, mask, interpret=interpret)
+    return flash_group_attention_reference(q, k, v, u, mask)

@@ -27,6 +27,7 @@ from typing import Union
 import numpy as np
 
 from . import intervals as iv
+from ..runtime.trace import trace
 from .target_asr import TargetASR
 from ..processors.audio import AudioProcessor
 
@@ -403,10 +404,12 @@ class TargetDiarization:
             audio_data, sampling_rate = self.ap.read_audio(wav_file)
         else:
             audio_data = np.asarray(wav_file)
-        audio_data, sampling_rate = self.audio_preprocess(audio_data, sampling_rate)
+        with trace("infer/preprocess"):
+            audio_data, sampling_rate = self.audio_preprocess(audio_data, sampling_rate)
 
         target_embedding = None
         if target_file is not None:
+          with trace("infer/target_enroll"):
             if isinstance(target_file, (str, io.BytesIO)):
                 t_audio, t_sr = self.ap.read_audio(target_file)
             else:
@@ -429,13 +432,15 @@ class TargetDiarization:
         seg_sd = None  # segmentation diarization (pyannote-slot) result
         if duration >= self.long_audio_threshold or self.od_pipeline is None:
             try:
-                raw = {"text": self._cluster_segments(audio_data, sampling_rate)}
+                with trace("infer/diarize_cluster"):
+                    raw = {"text": self._cluster_segments(audio_data, sampling_rate)}
                 sd_result = self.sd_result_parser(raw, is_single=is_single)
             except Exception as e:
                 sd_result = None
                 print(e)
         if not sd_result and self.od_pipeline is not None:
-            seg_sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+            with trace("infer/diarize_segmentation"):
+                seg_sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
             if is_single:
                 merged = []
                 for ranges in seg_sd.values():
@@ -457,20 +462,23 @@ class TargetDiarization:
             self._log("od_result:", od_result)
             sd_result, overlap_map = iv.apply_od_result(sd_result, od_result)
             self._log("refined sd_result:", sd_result, "overlap_map:", overlap_map)
-            if target_embedding is not None:
-                target_spk = self.target_embedding_to_target_spk(
-                    target_embedding, audio_data, sampling_rate, sd_result,
-                    overlap_map)
-            else:
-                target_spk, target_embedding = self.sd_result_to_target_embedding(
-                    audio_data, sampling_rate, sd_result, overlap_map)
+            with trace("infer/target_id"):
+                if target_embedding is not None:
+                    target_spk = self.target_embedding_to_target_spk(
+                        target_embedding, audio_data, sampling_rate, sd_result,
+                        overlap_map)
+                else:
+                    target_spk, target_embedding = self.sd_result_to_target_embedding(
+                        audio_data, sampling_rate, sd_result, overlap_map)
             self._log("target_spk:", target_spk)
 
-        asr_result = self.sd_result_to_asr_audio(
-            audio_data, sampling_rate, sd_result, overlap_map, target_spk,
-            target_embedding)
-        asr_result = self.recheck_target_speaker(asr_result, target_spk,
-                                                 target_embedding)
+        with trace("infer/asr_assembly"):
+            asr_result = self.sd_result_to_asr_audio(
+                audio_data, sampling_rate, sd_result, overlap_map, target_spk,
+                target_embedding)
+        with trace("infer/recheck"):
+            asr_result = self.recheck_target_speaker(asr_result, target_spk,
+                                                     target_embedding)
         asr_result, target_audio = self.asr_audio_parser(
             asr_result, target_spk, output_target_audio)
         return target_spk, asr_result, target_audio

@@ -16,6 +16,8 @@ import os
 
 import numpy as np
 
+from ..runtime.trace import trace
+
 
 class ASRProcessor:
     LOCAL_ENGINES = ("paraformer", "sensevoice")
@@ -111,7 +113,8 @@ class ASRProcessor:
         over = {"min_clip_sec": min_clip_sec, "max_clip_sec": max_clip_sec}
         if max_end_silence_time is not None:
             over["max_end_silence_time"] = max_end_silence_time
-        return self.vad.vad_detection(audio_data, sr=sampling_rate, **over)
+        with trace("asr/vad_detection"):
+            return self.vad.vad_detection(audio_data, sr=sampling_rate, **over)
 
     def asr_vad_split(self, audio_data: np.ndarray, sampling_rate: int = 16000,
                       **vad_kwargs) -> list:
@@ -139,7 +142,8 @@ class ASRProcessor:
             return self.asr_detection_api(audio_data, sampling_rate, engine, prompt)
         if self.asr is None:
             return [{"text": "", "timestamp": []}]
-        res = self.asr.asr_detection(audio_data, sr=sampling_rate)
+        with trace("asr/asr_detection"):
+            res = self.asr.asr_detection(audio_data, sr=sampling_rate)
         if not no_punc and self.punc is not None and res and res[0]["text"]:
             res[0]["text"] = self.punc.punctuation_restore(res[0]["text"])
         return res
@@ -171,7 +175,8 @@ class ASRProcessor:
     def punctuation_restore(self, text: str) -> str:
         if self.punc is None or not text:
             return text
-        return self.punc.punctuation_restore(text)
+        with trace("asr/punctuation"):
+            return self.punc.punctuation_restore(text)
 
     def timestamp_prediction(self, audio_data: np.ndarray, text: str,
                              sampling_rate: int = 16000) -> list:

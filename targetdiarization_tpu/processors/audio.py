@@ -22,6 +22,7 @@ from ..ops.loudness import integrated_loudness, normalize_loudness
 from ..ops.resample import resample, resample_poly_np
 from ..ops.stft import stft, istft
 from ..utils import audio_io
+from ..runtime.trace import trace
 
 
 class AudioProcessor:
@@ -135,9 +136,16 @@ class AudioProcessor:
         a = np.asarray(audio_data, np.float32)
         if a.size < int(0.4 * sampling_rate):
             return a
-        return np.asarray(
-            normalize_loudness(jnp.asarray(a), sampling_rate, target_loudness)
-        )
+        with trace("audio/loudness_control"):
+            # measure on host (native C++ meter, ~0.1 ms) and apply the
+            # gain in numpy — the device round trip costs ~75 ms/call
+            # through the TPU tunnel for a pure measurement
+            from ..utils.native import integrated_loudness_native
+
+            measured = integrated_loudness_native(a, sampling_rate)
+            if not np.isfinite(measured):
+                return a
+            return a * np.float32(10.0 ** ((target_loudness - measured) / 20.0))
 
     def audio_gain(self, audio_data: np.ndarray, gain_db: float) -> np.ndarray:
         return np.asarray(A.apply_gain_db(jnp.asarray(audio_data), gain_db))
@@ -328,30 +336,33 @@ class AudioProcessor:
     def denoise_vocal(self, audio_data: np.ndarray, sampling_rate: int = 16000,
                       fast_mode: bool = False) -> np.ndarray:
         self._log("Running module: denoise_vocal")
-        if self.denoiser is None or fast_mode:
-            from ..models.denoise import spectral_gate
+        with trace("audio/denoise_vocal"):
+            if self.denoiser is None or fast_mode:
+                from ..models.denoise import spectral_gate
 
-            return np.asarray(spectral_gate(jnp.asarray(
-                np.asarray(audio_data, np.float32))))
-        return self.denoiser.denoise_vocal(audio_data, sr=sampling_rate)
+                return np.asarray(spectral_gate(jnp.asarray(
+                    np.asarray(audio_data, np.float32))))
+            return self.denoiser.denoise_vocal(audio_data, sr=sampling_rate)
 
     def separate_speaker(self, audio_data: np.ndarray, sampling_rate: int = 16000
                          ) -> list:
         """[spk1, spk2] loudest-first; disabled → input twice
         (reference AudioProcessor.py:886-888)."""
         self._log("Running module: separate_speaker")
-        if self.separator is None:
-            a = np.asarray(audio_data, np.float32)
-            return [a, a.copy()]
-        out = self.separator.separate(audio_data, sr=sampling_rate)
-        return [out[0], out[1]]
+        with trace("audio/separate_speaker"):
+            if self.separator is None:
+                a = np.asarray(audio_data, np.float32)
+                return [a, a.copy()]
+            out = self.separator.separate(audio_data, sr=sampling_rate)
+            return [out[0], out[1]]
 
     def restore_audio(self, audio_data: np.ndarray, sampling_rate: int = 16000
                       ) -> np.ndarray:
         self._log("Running module: restore_audio")
-        if self.restorer is None:
-            return np.asarray(audio_data, np.float32)
-        return self.restorer.restore(audio_data, sr=sampling_rate)
+        with trace("audio/restore_audio"):
+            if self.restorer is None:
+                return np.asarray(audio_data, np.float32)
+            return self.restorer.restore(audio_data, sr=sampling_rate)
 
     enhance_audio = restore_audio  # Resemble-Enhance slot routes to the restorer
 
