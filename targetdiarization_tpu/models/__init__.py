@@ -23,3 +23,4 @@ from . import features  # noqa: F401
 # from_pretrained dispatch (registration happens at import time).
 from . import vad, speaker, diarization, separation, restoration  # noqa: F401,E402
 from . import denoise, asr, punctuation, zoo  # noqa: F401,E402
+from . import whisper_style, emotion  # noqa: F401,E402

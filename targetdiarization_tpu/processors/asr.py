@@ -20,7 +20,8 @@ from ..runtime.trace import trace
 
 
 class ASRProcessor:
-    LOCAL_ENGINES = ("paraformer", "sensevoice")
+    LOCAL_ENGINES = ("paraformer", "sensevoice", "whisper", "whisper_v2",
+                     "whisper_v3", "whisper_finetune")
     API_ENGINES = ("tencent_api", "xunfei_api", "gemini_api", "jzx_api")
 
     def __init__(
@@ -63,12 +64,20 @@ class ASRProcessor:
             self._log(f"VAD unavailable: {e}")
 
         try:
-            from ..models.asr import ASREngine
+            if asr_engine.startswith("whisper"):
+                from ..models.whisper_style import WhisperStyleEngine
 
-            if asr_model and os.path.exists(asr_model):
-                self.asr = ASREngine.from_pretrained(asr_model)
-            elif init_random_if_missing and asr_engine in self.LOCAL_ENGINES:
-                self.asr = ASREngine(engine=asr_engine, seed=seed)
+                if asr_model and os.path.exists(asr_model):
+                    self.asr = WhisperStyleEngine.from_pretrained(asr_model)
+                elif init_random_if_missing:
+                    self.asr = WhisperStyleEngine(seed=seed)
+            else:
+                from ..models.asr import ASREngine
+
+                if asr_model and os.path.exists(asr_model):
+                    self.asr = ASREngine.from_pretrained(asr_model)
+                elif init_random_if_missing and asr_engine in self.LOCAL_ENGINES:
+                    self.asr = ASREngine(engine=asr_engine, seed=seed)
         except Exception as e:
             self._log(f"ASR unavailable: {e}")
 
@@ -90,6 +99,17 @@ class ASRProcessor:
                 self.diarizer = SegmentationEngine.from_pretrained(diarization_model)
         except Exception as e:
             self._log(f"diarization unavailable: {e}")
+        try:
+            if emotion_model and os.path.exists(emotion_model):
+                from ..models.emotion import EmotionEngine
+
+                self.emotion = EmotionEngine.from_pretrained(emotion_model)
+            elif init_random_if_missing:
+                from ..models.emotion import EmotionEngine
+
+                self.emotion = EmotionEngine(seed=seed)
+        except Exception as e:
+            self._log(f"emotion unavailable: {e}")
 
     def _log(self, msg: str):
         if self.verbose_log:
@@ -216,7 +236,10 @@ class ASRProcessor:
     def emotion_detection(self, audio_data: np.ndarray,
                           sampling_rate: int = 16000) -> dict:
         """{'labels': [...], 'scores': [...]} (emotion2vec contract,
-        ASRProcessor.py:935-974). Uses the SenseVoice emotion head."""
+        ASRProcessor.py:935-974). Uses the dedicated EmotionNet when
+        loaded, else the SenseVoice emotion head."""
+        if self.emotion is not None:
+            return self.emotion.emotion_detection(audio_data, sr=sampling_rate)
         if self.asr is not None and getattr(self.asr, "engine", "") == "sensevoice":
             res = self.asr.asr_detection(audio_data, sr=sampling_rate)[0]
             emo = res.get("emotion", "UNKNOWN")
