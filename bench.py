@@ -122,7 +122,62 @@ def build_pipeline(fast: bool):
     return TargetDiarization(target_asr=tasr, segmentation_engine=seg)
 
 
+def bench_streaming():
+    """BENCH_MODE=streaming: p50 per-1s-chunk wall latency through the
+    streaming engine (the BASELINE.md streaming design point). Prints the
+    one JSON line with vs_baseline = realtime multiple (1000 ms / p50)."""
+    import statistics
+
+    import numpy as np
+
+    from targetdiarization_tpu.serve.server import build_model
+    from targetdiarization_tpu.utils.audio_io import read_audio
+
+    enable_compile_cache()
+    wav = "/root/reference/assets/chat_mix.wav"
+    with contextlib.redirect_stdout(sys.stderr):
+        model = build_model()
+        audio, sr = read_audio(wav)
+        audio = np.asarray(audio)
+        chunk = sr  # 1 s chunks (reference design point)
+        state_lat = []
+        # drive chunk-by-chunk measuring the engine's per-chunk handling
+        for rep in range(3):  # first pass warms all compiles
+            for i in range(0, len(audio) - chunk, chunk):
+                t0 = time.time()
+                for _ in model.process_vad_chunk(
+                        model.chunk_preprocess(audio[i: i + chunk], sr),
+                        False, _stream_state(model)):
+                    pass
+                dt = (time.time() - t0) * 1000
+                if rep > 0:
+                    state_lat.append(dt)
+        p50 = statistics.median(state_lat)
+        log(f"chunks measured: {len(state_lat)}, p50={p50:.1f} ms, "
+            f"p90={sorted(state_lat)[int(len(state_lat)*0.9)]:.1f} ms")
+    print(json.dumps({
+        "metric": "stream_chunk_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(1000.0 / max(p50, 1e-6), 3),
+    }))
+
+
+_STREAM_STATE = {}
+
+
+def _stream_state(model):
+    from targetdiarization_tpu.pipeline.streaming import StreamState
+
+    if "s" not in _STREAM_STATE:
+        _STREAM_STATE["s"] = StreamState()
+    return _STREAM_STATE["s"]
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "streaming":
+        bench_streaming()
+        return
     fast = os.environ.get("BENCH_FAST", "0") == "1"
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     wav = "/root/reference/assets/chat_mix.wav"

@@ -18,3 +18,22 @@ Layering (mirrors reference SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+# Lazy top-level API: the reference's user-facing names importable from
+# the package root without paying full import cost at package import.
+_API = {
+    "TargetDiarization": "targetdiarization_tpu.pipeline.offline",
+    "TargetDiarizationStream": "targetdiarization_tpu.pipeline.streaming",
+    "TargetASR": "targetdiarization_tpu.pipeline.target_asr",
+    "AudioProcessor": "targetdiarization_tpu.processors.audio",
+    "ASRProcessor": "targetdiarization_tpu.processors.asr",
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -405,16 +405,6 @@ class ASREngine:
         tok = CharTokenizer(vocab_file=vocab_file)
         return cls(params=params, model=model, tokenizer=tok)
 
-    def _frontend(self, audio: np.ndarray, sr: int) -> np.ndarray:
-        audio = np.asarray(audio, np.float32)
-        if features.num_frames(len(audio), sr) == 0:
-            return np.zeros((0, 80 * LFR_M), np.float32)
-        f = features.fbank(jnp.asarray(np.asarray(audio, np.float32)), sr=sr)
-        f = features.lfr(f, LFR_M, LFR_N)
-        if self.cmvn is not None:
-            f = features.apply_cmvn(f, self.cmvn[0], self.cmvn[1])
-        return np.asarray(f)
-
     def asr_detection(self, audio: np.ndarray, sr: int = 16000, **kw) -> list:
         """[{'text': ..., 'timestamp': [[ms, ms], ...]}] — the contract
         TargetDiarization consumes (reference ASRProcessor.py:373-528)."""
@@ -424,6 +414,17 @@ class ASREngine:
 
             audio = resample_poly_np(audio, 16000, sr)
             sr = 16000
+        top = _SAMPLE_LADDER.rungs[-1]
+        if len(audio) > top:
+            # window at the top rung; concatenate texts, offset timestamps
+            text_parts, ts_parts = [], []
+            for i in range(0, len(audio), top):
+                sub = self.asr_detection(audio[i: i + top], sr, **kw)[0]
+                text_parts.append(sub["text"])
+                off = int(i / sr * 1000)
+                ts_parts.extend([[s + off, e + off]
+                                 for s, e in sub.get("timestamp", [])])
+            return [{"text": "".join(text_parts), "timestamp": ts_parts}]
         n_frames_valid = features.num_frames(len(audio), sr)
         if n_frames_valid == 0:
             return [{"text": "", "timestamp": []}]

@@ -154,6 +154,14 @@ class SegmentationEngine:
 
             audio = resample_poly_np(audio, 16000, sr)
             sr = 16000
+        top = _SEG_LADDER.rungs[-1]
+        if len(audio) > top:
+            parts = [
+                self.activations(audio[i: i + top], sr)
+                for i in range(0, len(audio), top)
+            ]
+            return (np.concatenate(parts, axis=0) if parts
+                    else np.zeros((0, self.model.max_speakers), np.float32))
         t = features.num_frames(len(audio), sr)
         if t == 0:
             return np.zeros((0, self.model.max_speakers), np.float32)

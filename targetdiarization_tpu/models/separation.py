@@ -48,8 +48,11 @@ class ScaleNorm(nn.Module):
     def __call__(self, x):
         g = self.param("g", nn.initializers.ones, (1,))
         scale = x.shape[-1] ** -0.5
-        norm = jnp.linalg.norm(x, axis=-1, keepdims=True) * scale
-        return x / jnp.maximum(norm, self.eps) * g
+        # sqrt(ss + eps²) instead of linalg.norm: the gradient of an L2
+        # norm at an all-zero row (padded frames) is 0/0 = NaN
+        ss = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+        norm = jnp.sqrt(ss * (scale * scale) + self.eps * self.eps)
+        return x / norm * g
 
 
 def masked_global_layer_norm(x, mask, weight, bias, eps=1e-8):

@@ -160,6 +160,15 @@ class VADEngine:
 
             audio = resample_poly_np(audio, 16000, sr)
             sr = 16000
+        top = _SAMPLE_LADDER.rungs[-1]
+        if len(audio) > top:
+            # audio beyond the top bucket: window at the top rung and
+            # concatenate frame tracks (SURVEY.md §5.7 chunking)
+            parts = [
+                self.frame_probs(audio[i: i + top], sr)
+                for i in range(0, len(audio), top)
+            ]
+            return np.concatenate(parts) if parts else np.zeros(0, np.float32)
         t = features.num_frames(len(audio), sr)
         if t == 0:
             return np.zeros(0, np.float32)

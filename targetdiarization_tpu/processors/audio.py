@@ -290,7 +290,10 @@ class AudioProcessor:
             return np.asarray(audio_data, np.float32)
         a = np.asarray(audio_data, np.float32)
         n_fft, hop = 2048, 512
-        spec = np.asarray(stft(jnp.asarray(a), n_fft, hop))
+        # complex arrays cannot cross the TPU host link: transfer the
+        # real/imag planes separately and recombine on host
+        spec_dev = stft(jnp.asarray(a), n_fft, hop)
+        spec = np.asarray(spec_dev.real) + 1j * np.asarray(spec_dev.imag)
         n_frames = spec.shape[-1]
         steps = np.arange(0, n_frames - 1, rate)
         phase = np.angle(spec[:, 0])
@@ -304,9 +307,19 @@ class AudioProcessor:
             dphase = np.angle(spec[:, lo + 1]) - np.angle(spec[:, lo]) - two_pi_hop
             dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
             phase = phase + two_pi_hop + dphase
-        return np.asarray(
-            istft(jnp.asarray(out), n_fft, hop)
-        )
+        # resynthesis stays on host: the remote TPU backend lacks full
+        # complex-array support outside jitted programs
+        frames = np.fft.irfft(out.T, n=n_fft, axis=-1)  # (n_out, n_fft)
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+        frames *= win
+        out_len = (frames.shape[0] - 1) * hop + n_fft
+        y = np.zeros(out_len, np.float32)
+        wsum = np.zeros(out_len, np.float32)
+        for fi in range(frames.shape[0]):
+            y[fi * hop: fi * hop + n_fft] += frames[fi]
+            wsum[fi * hop: fi * hop + n_fft] += win * win
+        y /= np.maximum(wsum, 1e-8)
+        return y[n_fft // 2: -(n_fft // 2)].astype(np.float32)
 
     def audio_pitch_shift(self, audio_data: np.ndarray, sampling_rate: int,
                           n_semitones: float) -> np.ndarray:

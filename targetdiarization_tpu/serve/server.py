@@ -81,6 +81,21 @@ def build_model(config=None):
     from ..processors.audio import AudioProcessor
 
     cfg = config or env_config()
+    # default to the shipped bootstrap checkpoints when a stage has no
+    # configured model (train/recipes.py produces these from the fixture
+    # audio; see README "Checkpoints")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    defaults = {
+        "vad_model": os.path.join(repo, "checkpoints", "vad-bootstrap"),
+        "separation_model": os.path.join(repo, "checkpoints", "sep-bootstrap"),
+        "embedding_model": os.path.join(repo, "checkpoints", "spk-bootstrap"),
+        "segmentation_model": os.path.join(repo, "checkpoints", "seg-bootstrap"),
+    }
+    for field, path in defaults.items():
+        if not getattr(cfg, field) and os.path.exists(path):
+            setattr(cfg, field, path)
+            logger.info(f"using bootstrap checkpoint for {field}: {path}")
     ap = AudioProcessor(
         denoise_model=cfg.denoise_model,
         separation_model=cfg.separation_model,

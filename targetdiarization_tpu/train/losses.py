@@ -31,8 +31,12 @@ def si_sdr(est: jnp.ndarray, ref: jnp.ndarray, zero_mean: bool = True) -> jnp.nd
     energy = jnp.sum(ref * ref, axis=-1, keepdims=True)
     target = dot * ref / (energy + EPS)
     noise = est - target
-    ratio = jnp.sum(target**2, axis=-1) / (jnp.sum(noise**2, axis=-1) + EPS)
-    return 10.0 * jnp.log10(ratio + EPS)
+    t_pow = jnp.sum(target**2, axis=-1)
+    # relative noise floor bounds SI-SDR at ~60 dB: near-perfect
+    # reconstruction otherwise drives 1/noise gradients to overflow (the
+    # NaN observed in long training runs)
+    n_pow = jnp.sum(noise**2, axis=-1) + 1e-6 * t_pow + EPS
+    return 10.0 * jnp.log10(t_pow / n_pow + EPS)
 
 
 def sd_sdr(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:

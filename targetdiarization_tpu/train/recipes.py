@@ -1,0 +1,408 @@
+"""Bootstrap training recipes: produce working default checkpoints.
+
+No reference checkpoints exist in this environment (checkpoints/ holds
+only .gitkeep — SURVEY.md §2.5 weights are external downloads), so these
+recipes train small-but-functional models from the repo's own fixture
+audio + synthesized negatives, giving the pipeline non-degenerate
+behavior out of the box:
+
+  bootstrap_vad        frame BCE on speech crops (fixtures) vs synthetic
+                       noise/silence → a VAD that actually gates speech
+  bootstrap_separator  PIT SI-SDR on dynamic 2-source mixtures of the
+                       two fixture voices → a separator with SI-SNRi > 0
+
+Each saves a registry-loadable checkpoint (runtime.registry
+from_pretrained) and returns simple quality numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ASSETS = "/root/reference/assets"
+
+
+def _load_fixture(name: str) -> np.ndarray:
+    import os
+
+    from ..utils.audio_io import read_audio
+
+    audio, sr = read_audio(os.path.join(ASSETS, name))
+    audio = np.asarray(audio)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=0)
+    assert sr == 16000
+    return audio.astype(np.float32)
+
+
+def _frame_labels(audio: np.ndarray, sr: int = 16000,
+                  thresh_db: float = -45.0) -> np.ndarray:
+    """Per-10ms-frame speech labels from energy (for clean speech audio)."""
+    from ..models import features
+
+    n = features.num_frames(len(audio), sr)
+    frame, hop = 400, 160
+    labels = np.zeros(n, np.float32)
+    for i in range(n):
+        w = audio[i * hop: i * hop + frame]
+        rms = np.sqrt(np.mean(w**2) + 1e-12)
+        labels[i] = 1.0 if 20 * np.log10(rms + 1e-12) > thresh_db else 0.0
+    return labels
+
+
+def bootstrap_vad(steps: int = 300, batch: int = 16, seconds: float = 2.0,
+                  checkpoint_dir: str = "checkpoints/vad-bootstrap",
+                  seed: int = 0, log_fn=print) -> dict:
+    """Train FsmnVADNet speech/noise discrimination from fixtures."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import features
+    from ..models.vad import FsmnVADNet
+    from ..runtime.params import save_checkpoint
+
+    rng = np.random.default_rng(seed)
+    speech = [_load_fixture("chat_mix.wav"), _load_fixture("female_a.wav")]
+    n = int(seconds * 16000)
+    t_frames = features.num_frames(n)
+
+    def make_noise(kind: int) -> np.ndarray:
+        w = rng.standard_normal(n).astype(np.float32)
+        if kind == 0:  # white
+            out = w * 10 ** (rng.uniform(-3, -1))
+        elif kind == 1:  # pink-ish
+            spec = np.fft.rfft(w)
+            out = np.fft.irfft(
+                spec / np.sqrt(np.maximum(np.arange(len(spec)), 1.0)), n=n
+            ).astype(np.float32)
+            out *= 10 ** (rng.uniform(-2, -0.5)) / (np.abs(out).max() + 1e-9)
+        else:  # near-silence
+            out = w * 1e-4
+        return out
+
+    def sample_batch():
+        xs, ys = [], []
+        for _ in range(batch):
+            if rng.random() < 0.5:  # speech (possibly with noise added)
+                src = speech[int(rng.integers(len(speech)))]
+                start = int(rng.integers(0, max(len(src) - n, 1)))
+                crop = src[start: start + n]
+                crop = np.pad(crop, (0, n - len(crop)))
+                lab = _frame_labels(crop)
+                if rng.random() < 0.3:  # noisy speech stays speech
+                    crop = crop + make_noise(int(rng.integers(2))) * 0.3
+                xs.append(crop)
+                ys.append(lab)
+            else:  # pure noise / silence → label 0
+                xs.append(make_noise(int(rng.integers(3))))
+                ys.append(np.zeros(t_frames, np.float32))
+        return np.stack(xs), np.stack(ys)
+
+    model = FsmnVADNet()
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, t_frames, 80)), jnp.array([t_frames]))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, audio, labels):
+        def loss_fn(p):
+            feats = features.fbank(audio)
+            logits = model.apply(p, feats,
+                                 jnp.full((audio.shape[0],), t_frames))
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ll = labels * logp[..., 1] + (1 - labels) * logp[..., 0]
+            return -jnp.mean(ll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        audio, labels = sample_batch()
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(audio), jnp.asarray(labels))
+        if (i + 1) % max(steps // 5, 1) == 0:
+            log_fn(f"vad step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    save_checkpoint(checkpoint_dir, params, "FsmnVADNet", {})
+
+    # quick self-eval: speech detected, noise rejected
+    from ..models.vad import VADEngine
+
+    eng = VADEngine(params=params)
+    speech_probs = eng.frame_probs(speech[1][:n])
+    noise_probs = eng.frame_probs(make_noise(0))
+    metrics = {
+        "final_loss": float(loss),
+        "speech_mean_prob": float(speech_probs.mean()),
+        "noise_mean_prob": float(noise_probs.mean()),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"vad bootstrap: {metrics}")
+    return metrics
+
+
+def bootstrap_separator(steps: int = 300, batch: int = 8,
+                        seconds: float = 1.0,
+                        checkpoint_dir: str = "checkpoints/sep-bootstrap",
+                        seed: int = 0, model=None, log_fn=print) -> dict:
+    """Train a small MossFormer2 on dynamic fixture mixtures (PIT SI-SDR)."""
+    from ..models.separation import MossFormer2
+    from .data import DynamicMixDataset, MixConfig
+    from .metrics import si_snr_i
+    from .trainer import SeparationTrainer, TrainConfig
+
+    chat = _load_fixture("chat_mix.wav")
+    female = _load_fixture("female_a.wav")
+    ds = DynamicMixDataset(
+        {"a": [female], "b": [chat]},
+        MixConfig(segment_seconds=seconds), seed=seed)
+    model = model or MossFormer2(
+        dim=64, enc_channels=64, num_blocks=4, group_size=64, qk_dim=32,
+        fsmn_inner=64)
+    trainer = SeparationTrainer(
+        model,
+        cfg=TrainConfig(learning_rate=5e-4, save_every=0, n_devices=1),
+        example_seconds=seconds, seed=seed)
+    history = trainer.fit(ds.batches(batch, steps), log_every=max(steps // 5, 1),
+                          log_fn=log_fn)
+    trainer.export_inference_checkpoint(checkpoint_dir)
+
+    # held-out eval
+    eval_ds = DynamicMixDataset(
+        {"a": [female], "b": [chat]},
+        MixConfig(segment_seconds=seconds), seed=seed + 999)
+    import jax.numpy as jnp
+
+    mix, srcs = eval_ds.sample()
+    est = np.asarray(trainer.model.apply(
+        trainer.state["params"], jnp.asarray(mix)[None]))[0]
+    # best-permutation SI-SNRi
+    i_a = max(
+        si_snr_i(est[0], srcs[0], mix) + si_snr_i(est[1], srcs[1], mix),
+        si_snr_i(est[0], srcs[1], mix) + si_snr_i(est[1], srcs[0], mix),
+    ) / 2
+    metrics = {
+        "final_loss": history[-1]["loss"] if history else float("nan"),
+        "eval_si_snr_i": float(i_a),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"separator bootstrap: {metrics}")
+    return metrics
+
+
+def _pseudo_speakers(n_shift: int = 2) -> dict:
+    """Create pseudo-speaker pools from the two fixture voices by pitch
+    shifting (a standard augmentation trick): each (voice, shift) pair
+    acts as a distinct speaker class for embedding training."""
+    from ..processors.audio import AudioProcessor
+
+    ap = AudioProcessor()
+    base = {"chat": _load_fixture("chat_mix.wav"),
+            "female": _load_fixture("female_a.wav")}
+    pools: dict = {}
+    shifts = [0] + [s for k in range(1, n_shift + 1) for s in (2 * k, -2 * k)]
+    for name, audio in base.items():
+        for s in shifts:
+            key = f"{name}_{s:+d}"
+            pools[key] = (
+                audio if s == 0
+                else ap.audio_pitch_shift(audio, 16000, float(s)).astype(np.float32)
+            )
+    return pools
+
+
+def bootstrap_speaker(steps: int = 400, batch: int = 16, seconds: float = 2.0,
+                      checkpoint_dir: str = "checkpoints/spk-bootstrap",
+                      model_name: str = "eres2net", seed: int = 0,
+                      log_fn=print) -> dict:
+    """Train a speaker embedder with additive-margin softmax over
+    pitch-shifted pseudo-speakers; gives working same/different-speaker
+    discrimination for diarization and target-ID."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import features
+    from ..models.speaker import _MODEL_PRESETS, CAMPlusPlus, ERes2NetV2
+    from ..runtime.params import save_checkpoint
+
+    rng = np.random.default_rng(seed)
+    pools = _pseudo_speakers()
+    classes = sorted(pools)
+    n = int(seconds * 16000)
+    t_frames = features.num_frames(n)
+
+    preset = _MODEL_PRESETS[model_name]
+    cls = {"ERes2NetV2": ERes2NetV2, "CAMPlusPlus": CAMPlusPlus}[preset["cls"]]
+    model = cls(**preset["args"])
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, t_frames, 80)), jnp.array([t_frames]))
+    w_cls = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (192, len(classes)))
+    state = {"model": variables, "w": w_cls}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(state)
+
+    def sample_batch():
+        xs, ys = [], []
+        for _ in range(batch):
+            c = int(rng.integers(len(classes)))
+            src = pools[classes[c]]
+            start = int(rng.integers(0, max(len(src) - n, 1)))
+            crop = np.pad(src[start: start + n], (0, 0))
+            crop = np.pad(crop, (0, max(0, n - len(crop))))[:n]
+            if rng.random() < 0.3:  # noise augmentation
+                crop = crop + rng.standard_normal(n).astype(np.float32) * 0.01
+            xs.append(crop)
+            ys.append(c)
+        return np.stack(xs), np.asarray(ys, np.int32)
+
+    @jax.jit
+    def step_fn(state, opt_state, audio, labels):
+        def loss_fn(st):
+            feats = features.fbank(audio)
+            mean = jnp.mean(feats, axis=1, keepdims=True)
+            emb = model.apply(st["model"], feats - mean,
+                              jnp.full((audio.shape[0],), t_frames))
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6)
+            w = st["w"] / jnp.maximum(
+                jnp.linalg.norm(st["w"], axis=0, keepdims=True), 1e-6)
+            cos = emb @ w  # (B, C)
+            # additive-margin softmax (m=0.2, s=16)
+            margin = jax.nn.one_hot(labels, cos.shape[-1]) * 0.2
+            logits = 16.0 * (cos - margin)
+            return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(state, updates), opt_state, loss
+
+    for i in range(steps):
+        audio, labels = sample_batch()
+        state, opt_state, loss = step_fn(
+            state, opt_state, jnp.asarray(audio), jnp.asarray(labels))
+        if (i + 1) % max(steps // 5, 1) == 0:
+            log_fn(f"spk step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    save_checkpoint(checkpoint_dir, state["model"],
+                    type(model).__name__, dict(preset["args"]))
+
+    # eval: same-voice crops more similar than cross-voice crops
+    from ..models.speaker import SpeakerEngine, cosine_similarity
+
+    eng = SpeakerEngine(params=state["model"], model=model,
+                        model_name=model_name)
+    chat, fem = pools["chat_+0"], pools["female_+0"]
+    e = eng.embed_batch([chat[:n], chat[n: 2 * n], fem[:n], fem[n: 2 * n]])
+    same = (cosine_similarity(e[0], e[1]) + cosine_similarity(e[2], e[3])) / 2
+    cross = (cosine_similarity(e[0], e[2]) + cosine_similarity(e[1], e[3])) / 2
+    metrics = {"final_loss": float(loss), "same_voice_cos": round(same, 3),
+               "cross_voice_cos": round(cross, 3),
+               "checkpoint": checkpoint_dir}
+    log_fn(f"speaker bootstrap: {metrics}")
+    return metrics
+
+
+def bootstrap_segmentation(steps: int = 300, batch: int = 8,
+                           seconds: float = 4.0,
+                           checkpoint_dir: str = "checkpoints/seg-bootstrap",
+                           seed: int = 0, log_fn=print) -> dict:
+    """Train the SegmentationNet on synthetic multi-slot scenes: random
+    speech crops from the two fixture voices placed on a timeline with
+    known per-slot activity → multilabel BCE. Gives working overlap
+    detection and short-audio diarization."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import features
+    from ..models.diarization import SegmentationNet
+    from ..runtime.params import save_checkpoint
+
+    rng = np.random.default_rng(seed)
+    voices = [_load_fixture("chat_mix.wav"), _load_fixture("female_a.wav")]
+    n = int(seconds * 16000)
+    t_frames = features.num_frames(n)
+    model = SegmentationNet()
+    # SAME-padded stride-2 convs: two ceil-divisions, not one floor-by-4
+    t_out = -(-(-(-t_frames // 2)) // 2)
+
+    def sample_scene():
+        audio = np.zeros(n, np.float32)
+        act = np.zeros((t_out, model.max_speakers), np.float32)
+        n_spk = int(rng.integers(0, model.max_speakers + 1))
+        order = rng.permutation(len(voices))
+        for slot in range(n_spk):
+            src = voices[order[slot % len(voices)]]
+            dur = int(rng.uniform(0.5, seconds * 0.8) * 16000)
+            dur = min(dur, len(src), n - 1)
+            start = int(rng.integers(0, n - dur))
+            s0 = int(rng.integers(0, max(len(src) - dur, 1)))
+            crop = src[s0: s0 + dur]
+            audio[start: start + len(crop)] += crop
+            f0 = start // (160 * model.downsample)
+            f1 = min(t_out, (start + len(crop)) // (160 * model.downsample))
+            act[f0:f1, slot] = 1.0
+        if rng.random() < 0.5:
+            audio += rng.standard_normal(n).astype(np.float32) * 0.005
+        return audio, act
+
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, t_frames, 80)),
+                           jnp.array([t_frames]))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(variables)
+
+    from itertools import permutations
+
+    perms = np.asarray(list(permutations(range(model.max_speakers))))
+
+    @jax.jit
+    def step_fn(params, opt_state, audio, act):
+        def loss_fn(p):
+            feats = features.fbank(audio)
+            probs = model.apply(p, feats,
+                                jnp.full((audio.shape[0],), t_frames))
+            probs = jnp.clip(probs, 1e-6, 1 - 1e-6)
+            # PIT over slot permutations: slot identity is arbitrary, so
+            # score every label-slot ordering and keep the best per example
+            def bce_for(perm):
+                a = act[..., perm]
+                return jnp.mean(
+                    -(a * jnp.log(probs) + (1 - a) * jnp.log(1 - probs)),
+                    axis=(1, 2))
+
+            losses = jnp.stack([bce_for(tuple(p_)) for p_ in perms], axis=-1)
+            return jnp.mean(jnp.min(losses, axis=-1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        batch_data = [sample_scene() for _ in range(batch)]
+        audio = jnp.asarray(np.stack([a for a, _ in batch_data]))
+        act = jnp.asarray(np.stack([l for _, l in batch_data]))
+        variables, opt_state, loss = step_fn(variables, opt_state, audio, act)
+        if (i + 1) % max(steps // 5, 1) == 0:
+            log_fn(f"seg step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    save_checkpoint(checkpoint_dir, variables, "SegmentationNet", {})
+
+    # eval: silence → no activity; speech → some slot active
+    from ..models.diarization import SegmentationEngine
+
+    eng = SegmentationEngine(params=variables, model=model)
+    silence_act = eng.activations(np.zeros(n, np.float32)).max()
+    speech_act = eng.activations(voices[1][:n]).max()
+    metrics = {"final_loss": float(loss),
+               "silence_max_act": round(float(silence_act), 3),
+               "speech_max_act": round(float(speech_act), 3),
+               "checkpoint": checkpoint_dir}
+    log_fn(f"segmentation bootstrap: {metrics}")
+    return metrics

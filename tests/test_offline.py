@@ -116,6 +116,24 @@ class TestOfflinePipeline:
         for r in results:
             assert "audio" not in r
 
+    def test_long_audio_routes_to_cluster_diarizer(self, pipeline, chat_mix,
+                                                   monkeypatch):
+        """≥30 s audio must use the clustering diarizer (reference
+        TargetDiarization.py:99,124), not the segmentation engine."""
+        audio, sr = chat_mix
+        long_audio = np.tile(np.asarray(audio), 4)  # ~34.7 s
+        called = {"cluster": 0}
+        orig = pipeline.sd_pipeline.diarize
+
+        def spy(*a, **k):
+            called["cluster"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pipeline.sd_pipeline, "diarize", spy)
+        _, results, _ = pipeline.infer(long_audio, output_target_audio=False)
+        assert called["cluster"] == 1
+        assert isinstance(results, list)
+
     def test_results_sorted_by_time(self, pipeline, chat_mix):
         audio, sr = chat_mix
         _, results, _ = pipeline.infer(np.asarray(audio), output_target_audio=False)
