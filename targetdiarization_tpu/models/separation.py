@@ -423,7 +423,10 @@ class SeparationEngine:
 
         def _fwd(p, wav, lengths):
             (wav_c,) = cast_inputs(self.compute_dtype, wav)
-            return f32(self.model.apply(p, wav_c, lengths, deterministic=True))
+            est = self.model.apply(p, wav_c, lengths, deterministic=True)
+            # ship bf16 over the host link (halves the dominant transfer);
+            # converted back to f32 on host
+            return est.astype(jnp.bfloat16)
 
         self._apply = jax.jit(_fwd)
 
@@ -437,7 +440,7 @@ class SeparationEngine:
     def separate(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
         """(2, T) separated sources at the input rate, loudest first."""
         from ..ops.resample import resample_poly_np
-        from ..ops.loudness import integrated_loudness
+        from ..utils.native import integrated_loudness_native
 
         audio = np.asarray(audio, np.float32)
         t_orig = len(audio)
@@ -451,12 +454,16 @@ class SeparationEngine:
         batch = padded.reshape(n_win, win)
         lengths = np.full(n_win, win, np.int64)
         lengths[-1] = n - (n_win - 1) * win if n % win else win
-        est = np.asarray(self._apply(self._params_c, jnp.asarray(batch), jnp.asarray(lengths)))
+        est = np.asarray(self._apply(
+            self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
+        ).astype(np.float32)
         # stitch windows back (non-overlapping concat, reference behavior)
         streams = est.transpose(1, 0, 2).reshape(self.model.num_spks, -1)[:, :n]
-        # order by loudness: louder stream first (AudioProcessor.py:949-952)
+        # order by loudness, louder first (AudioProcessor.py:949-952);
+        # measured on host (native meter) — a device round trip per
+        # stream would double the engine's dispatch count
         louds = [
-            float(integrated_loudness(jnp.asarray(s), self.model.sample_rate))
+            integrated_loudness_native(s, self.model.sample_rate)
             for s in streams
         ]
         order = np.argsort(louds)[::-1]

@@ -177,6 +177,43 @@ class VADEngine:
         probs = self._probs(self._params_c, jnp.asarray(padded), jnp.array([t]))
         return np.asarray(probs[0, :t])
 
+    def frame_probs_batch(self, clips: list, sr: int = 16000) -> list:
+        """Frame probabilities for several clips in ONE device dispatch
+        (all padded to the largest needed bucket)."""
+        clips = [np.asarray(c, np.float32) for c in clips]
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            clips = [resample_poly_np(c, 16000, sr) for c in clips]
+        top = _SAMPLE_LADDER.rungs[-1]
+        if not clips or any(len(c) > top for c in clips):
+            return [self.frame_probs(c) for c in clips]
+        ts = [features.num_frames(len(c)) for c in clips]
+        if all(t == 0 for t in ts):
+            return [np.zeros(0, np.float32) for _ in clips]
+        bucket = _SAMPLE_LADDER.bucket(max(len(c) for c in clips))
+        batch = np.stack([pad_to(c, bucket) for c in clips])
+        probs = np.asarray(self._probs(
+            self._params_c, jnp.asarray(batch),
+            jnp.asarray([max(t, 1) for t in ts])))
+        return [probs[i, :t] for i, t in enumerate(ts)]
+
+    def vad_detection_batch(self, clips: list, sr: int = 16000,
+                            cfg: VADConfig | None = None, **over) -> list:
+        """vad_detection for several clips with one device dispatch."""
+        cfg = replace(cfg or VADConfig(), **over)
+        out = []
+        for clip, probs in zip(clips, self.frame_probs_batch(clips, sr)):
+            segs = segment_probs(probs, cfg, fps=100.0)
+            dur = len(clip) / sr
+            segs = [[max(0.0, s), min(dur, e)] for s, e in segs]
+            if cfg.min_clip_sec > 0:
+                segs = merge_short_clips(segs, cfg.min_clip_sec)
+            if cfg.max_clip_sec > 0:
+                segs = split_long_clips(segs, cfg.max_clip_sec)
+            out.append(segs)
+        return out
+
     # ---------------- offline segmentation ----------------
 
     def vad_detection(

@@ -228,8 +228,13 @@ class TargetASR:
             t_audio = self.ap.restore_audio(t_audio, sr)
             n_audio = self.ap.restore_audio(n_audio, sr)
         result = []
-        for score, out_audio in ((t_score, t_audio), (n_score, n_audio)):
-            sub_vad = self.asrp.vad_detection(out_audio, sr)
+        # one batched VAD dispatch for both separated streams
+        if self.asrp.vad is not None:
+            vads = self.asrp.vad.vad_detection_batch([t_audio, n_audio], sr)
+        else:
+            vads = [[[0.0, len(t_audio) / sr]], [[0.0, len(n_audio) / sr]]]
+        for (score, out_audio), sub_vad in zip(
+                ((t_score, t_audio), (n_score, n_audio)), vads):
             if not sub_vad:
                 continue
             text = self._asr_text(out_audio, sr, more) if is_output_asr else ""
