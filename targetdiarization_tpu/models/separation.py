@@ -424,9 +424,9 @@ class SeparationEngine:
         def _fwd(p, wav, lengths):
             (wav_c,) = cast_inputs(self.compute_dtype, wav)
             est = self.model.apply(p, wav_c, lengths, deterministic=True)
-            # ship bf16 over the host link (halves the dominant transfer);
-            # converted back to f32 on host
-            return est.astype(jnp.bfloat16)
+            # in bf16 mode, also ship bf16 over the host link (halves the
+            # dominant transfer); a float32 request stays float32 end to end
+            return est.astype(self.compute_dtype)
 
         self._apply = jax.jit(_fwd)
 

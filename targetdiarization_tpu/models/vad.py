@@ -200,7 +200,8 @@ class VADEngine:
 
     def vad_detection_batch(self, clips: list, sr: int = 16000,
                             cfg: VADConfig | None = None, **over) -> list:
-        """vad_detection for several clips with one device dispatch."""
+        """vad_detection for several clips with one device dispatch —
+        the single post-processing path for both single and batch APIs."""
         cfg = replace(cfg or VADConfig(), **over)
         out = []
         for clip, probs in zip(clips, self.frame_probs_batch(clips, sr)):
@@ -224,16 +225,7 @@ class VADEngine:
         Keyword overrides (e.g. max_end_silence_time=...) mirror the
         reference's per-call parameter pokes (ASRProcessor.py:762-764).
         """
-        cfg = replace(cfg or VADConfig(), **over)
-        probs = self.frame_probs(audio, sr=sr)
-        segs = segment_probs(probs, cfg, fps=100.0)
-        dur = len(audio) / sr
-        segs = [[max(0.0, s), min(dur, e)] for s, e in segs]
-        if cfg.min_clip_sec > 0:
-            segs = merge_short_clips(segs, cfg.min_clip_sec)
-        if cfg.max_clip_sec > 0:
-            segs = split_long_clips(segs, cfg.max_clip_sec)
-        return segs
+        return self.vad_detection_batch([audio], sr=sr, cfg=cfg, **over)[0]
 
     def get_speech_timestamps(
         self, audio: np.ndarray, sr: int = 16000, return_seconds: bool = False, **over

@@ -229,10 +229,7 @@ class TargetASR:
             n_audio = self.ap.restore_audio(n_audio, sr)
         result = []
         # one batched VAD dispatch for both separated streams
-        if self.asrp.vad is not None:
-            vads = self.asrp.vad.vad_detection_batch([t_audio, n_audio], sr)
-        else:
-            vads = [[[0.0, len(t_audio) / sr]], [[0.0, len(n_audio) / sr]]]
+        vads = self.asrp.vad_detection_batch([t_audio, n_audio], sr)
         for (score, out_audio), sub_vad in zip(
                 ((t_score, t_audio), (n_score, n_audio)), vads):
             if not sub_vad:

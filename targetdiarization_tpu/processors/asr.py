@@ -136,6 +136,16 @@ class ASRProcessor:
         with trace("asr/vad_detection"):
             return self.vad.vad_detection(audio_data, sr=sampling_rate, **over)
 
+    def vad_detection_batch(self, clips: list, sampling_rate: int = 16000,
+                            **vad_kwargs) -> list:
+        """Batched vad_detection: one device dispatch for several clips,
+        with the same vad-None fallback and trace span as the single API."""
+        if self.vad is None:
+            return [[[0.0, len(c) / sampling_rate]] for c in clips]
+        with trace("asr/vad_detection"):
+            return self.vad.vad_detection_batch(clips, sr=sampling_rate,
+                                                **vad_kwargs)
+
     def asr_vad_split(self, audio_data: np.ndarray, sampling_rate: int = 16000,
                       **vad_kwargs) -> list:
         """[(start_s, end_s, clip_audio), ...] (ASRProcessor.py:820-878)."""
