@@ -170,10 +170,21 @@ class TargetDiarizationStream(TargetDiarization):
         if not state.vad_buffer:
             return True
         combined = np.concatenate(state.vad_buffer)
-        # whole-buffer VAD (silero's role, via our FSMN engine)
-        buffer_vad = self.tasr.asrp.vad_detection(
-            combined, 16000, max_end_silence_time=0.1)
-        chunk_vad = self.tasr.asrp.vad_detection(state.vad_buffer[-1], 16000)
+        # whole-buffer VAD (silero's role) + last-chunk VAD in ONE device
+        # dispatch; their different gap configs only affect the host-side
+        # segmenting state machine, so probabilities are shared
+        vad = self.tasr.asrp.vad
+        if vad is not None:
+            from ..models.vad import VADConfig, segment_probs
+
+            probs_pair = vad.frame_probs_batch(
+                [combined, state.vad_buffer[-1]])
+            buffer_vad = segment_probs(
+                probs_pair[0], VADConfig(max_end_silence_time=0.1), fps=100.0)
+            chunk_vad = segment_probs(probs_pair[1], VADConfig(), fps=100.0)
+        else:
+            buffer_vad = [[0.0, len(combined) / 16000]]
+            chunk_vad = [[0.0, 1.0]]
         # R2: silence chunk
         if is_silence:
             if trailing_gap_ok(combined, buffer_vad):

@@ -60,13 +60,13 @@ class TestFlushRules:
         state = StreamState()
         state.vad_buffer = [np.ones(16000, np.float32) * 0.1]
         state.buffer_duration = 1.0
-        calls = []
 
-        def fake_vad(audio, sr=16000, **kw):
-            calls.append(len(audio))
-            return []  # no speech anywhere
+        def fake_probs(clips, sr=16000):
+            # no speech anywhere: zero probability tracks
+            return [np.zeros(len(c) // 160, np.float32) for c in clips]
 
-        monkeypatch.setattr(stream_pipeline.tasr.asrp, "vad_detection", fake_vad)
+        monkeypatch.setattr(stream_pipeline.tasr.asrp.vad,
+                            "frame_probs_batch", fake_probs)
         assert stream_pipeline.should_wait_for_next_chunk(state) is True
         # chunk was replaced by near-silence
         assert np.all(state.vad_buffer[-1] == np.float32(1e-5))
@@ -76,11 +76,17 @@ class TestFlushRules:
         state.vad_buffer = [np.ones(32000, np.float32) * 0.1]
         state.buffer_duration = 2.0
 
-        def fake_vad(audio, sr=16000, **kw):
-            # speech ends at 1.0 s in a 2.0 s buffer → gap 1.0 ≥ 0.3
-            return [[0.0, 1.0]]
+        def fake_probs(clips, sr=16000):
+            # speech ends at 1.0 s in each clip → trailing gap ≥ 0.3
+            out = []
+            for c in clips:
+                p = np.zeros(len(c) // 160, np.float32)
+                p[: min(100, len(p))] = 1.0
+                out.append(p)
+            return out
 
-        monkeypatch.setattr(stream_pipeline.tasr.asrp, "vad_detection", fake_vad)
+        monkeypatch.setattr(stream_pipeline.tasr.asrp.vad,
+                            "frame_probs_batch", fake_probs)
         assert stream_pipeline.should_wait_for_next_chunk(state) is False
 
     def test_r5_speaker_change_flush(self, stream_pipeline, monkeypatch):
@@ -89,10 +95,12 @@ class TestFlushRules:
                             np.ones(16000, np.float32) * 0.1]
         state.buffer_duration = 2.0
 
-        def fake_vad(audio, sr=16000, **kw):
-            return [[0.0, len(audio) / 16000]]  # speech to the very end
+        def fake_probs(clips, sr=16000):
+            # speech to the very end of every clip
+            return [np.ones(len(c) // 160, np.float32) for c in clips]
 
-        monkeypatch.setattr(stream_pipeline.tasr.asrp, "vad_detection", fake_vad)
+        monkeypatch.setattr(stream_pipeline.tasr.asrp.vad,
+                            "frame_probs_batch", fake_probs)
         monkeypatch.setattr(
             stream_pipeline.tasr.spk, "embed_batch",
             lambda clips, sr=16000: np.eye(2, 192, dtype=np.float32))  # orthogonal
