@@ -405,6 +405,60 @@ class ASREngine:
         tok = CharTokenizer(vocab_file=vocab_file)
         return cls(params=params, model=model, tokenizer=tok)
 
+    def asr_detection_batch(self, audios: list, sr: int = 16000, **kw) -> list:
+        """asr_detection over several utterances with one device dispatch
+        per bucket (same contract per item, in order)."""
+        audios = [np.asarray(a, np.float32) for a in audios]
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            audios = [resample_poly_np(a, 16000, sr) for a in audios]
+            sr = 16000
+        top = _SAMPLE_LADDER.rungs[-1]
+        results: list = [None] * len(audios)
+        by_bucket: dict = {}
+        for i, a in enumerate(audios):
+            if len(a) > top or features.num_frames(len(a), sr) == 0:
+                results[i] = self.asr_detection(a, sr, **kw)[0]
+            else:
+                by_bucket.setdefault(_SAMPLE_LADDER.bucket(len(a)), []).append(i)
+        for bucket, idxs in by_bucket.items():
+            batch = np.stack([pad_to(audios[i], bucket) for i in idxs])
+            ts = [
+                -(-features.num_frames(len(audios[i]), sr) // LFR_N)
+                for i in idxs
+            ]
+            out = jax.device_get(self._apply(
+                self._params_c, jnp.asarray(batch), jnp.asarray(ts)))
+            for row, i in enumerate(idxs):
+                results[i] = self._decode_row(out, row, ts[row])
+        return results
+
+    def _decode_row(self, out: dict, row: int, t: int) -> dict:
+        """Decode one batch row of a device output dict to the result
+        contract."""
+        if self.engine == "sensevoice":
+            ids = out["ctc_ids"][row, :t]
+            toks = ctc_greedy(ids, self.tokenizer.blank_id)
+            text = self.tokenizer.decode(toks)
+            lang = LANGS[int(out["lang_id"][row])]
+            emo = EMOTIONS[int(out["emotion_id"][row])]
+            ev = EVENTS[int(out["event_id"][row])]
+            return ASRResult(
+                text=text, timestamp=[], raw_text=f"<|{lang}|><|{emo}|><|{ev}|>{text}",
+                language=lang, emotion=emo, event=ev).to_dict()
+        n_tok = int(out["n_tokens"][row])
+        fire_frames = out["fire_frames"][row, :n_tok]
+        ids = out["ids"][row, :n_tok] if n_tok else np.zeros(0, np.int64)
+        text = self.tokenizer.decode(ids)
+        ts_list = fire_frames_to_timestamps(fire_frames, t)
+        keep = [
+            i for i, tid in enumerate(ids)
+            if self.tokenizer.vocab[int(tid)] not in ("<blank>", "<s>", "</s>")
+        ]
+        ts_list = [ts_list[i] for i in keep if i < len(ts_list)]
+        return {"text": text, "timestamp": ts_list}
+
     def asr_detection(self, audio: np.ndarray, sr: int = 16000, **kw) -> list:
         """[{'text': ..., 'timestamp': [[ms, ms], ...]}] — the contract
         TargetDiarization consumes (reference ASRProcessor.py:373-528)."""
@@ -435,30 +489,7 @@ class ASREngine:
         # a separate host-link round trip each)
         out = jax.device_get(
             self._apply(self._params_c, jnp.asarray(padded), jnp.asarray([t])))
-
-        if self.engine == "sensevoice":
-            ids = out["ctc_ids"][0, :t]
-            toks = ctc_greedy(ids, self.tokenizer.blank_id)
-            text = self.tokenizer.decode(toks)
-            lang = LANGS[int(out["lang_id"][0])]
-            emo = EMOTIONS[int(out["emotion_id"][0])]
-            ev = EVENTS[int(out["event_id"][0])]
-            raw = f"<|{lang}|><|{emo}|><|{ev}|>{text}"
-            return [ASRResult(text=text, timestamp=[], raw_text=raw,
-                              language=lang, emotion=emo, event=ev).to_dict()]
-
-        n_tok = int(out["n_tokens"][0])
-        fire_frames = out["fire_frames"][0, :n_tok]
-        ids = out["ids"][0, :n_tok] if n_tok else np.zeros(0, np.int64)
-        text = self.tokenizer.decode(ids)
-        ts = fire_frames_to_timestamps(fire_frames, t)
-        # drop timestamps for ids decoded to empty (specials)
-        keep = [
-            i for i, tid in enumerate(ids)
-            if self.tokenizer.vocab[int(tid)] not in ("<blank>", "<s>", "</s>")
-        ]
-        ts = [ts[i] for i in keep if i < len(ts)]
-        return [{"text": text, "timestamp": ts}]
+        return [self._decode_row(out, 0, t)]
 
 
 def fire_frames_to_timestamps(fire_frames: np.ndarray, total_frames: int) -> list:

@@ -437,6 +437,51 @@ class SeparationEngine:
         model, params = from_pretrained(path)
         return cls(params=params, model=model)
 
+    def separate_batch(self, clips: list, sr: int = 16000) -> list:
+        """Separate several clips in ONE batched forward (all padded to
+        the window); returns a list of (num_spks, len(clip)) arrays,
+        each loudness-ordered. Clips longer than one window fall back to
+        the windowed `separate` path."""
+        from ..ops.resample import resample_poly_np
+        from ..utils.native import integrated_loudness_native
+
+        clips = [np.asarray(c, np.float32) for c in clips]
+        if sr != self.model.sample_rate:
+            work = [resample_poly_np(c, self.model.sample_rate, sr)
+                    for c in clips]
+        else:
+            work = clips
+        win = self.window
+        small = [i for i, c in enumerate(work) if 0 < len(c) <= win]
+        out: list = [None] * len(clips)
+        if small:
+            batch = np.stack([np.pad(work[i], (0, win - len(work[i])))
+                              for i in small])
+            lengths = np.array([len(work[i]) for i in small])
+            est = np.asarray(self._apply(
+                self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
+            ).astype(np.float32)
+            for j, i in enumerate(small):
+                streams = est[j, :, : len(work[i])]
+                louds = [integrated_loudness_native(s, self.model.sample_rate)
+                         for s in streams]
+                streams = streams[np.argsort(louds)[::-1]]
+                if sr != self.model.sample_rate:
+                    streams = np.stack([
+                        resample_poly_np(s, sr, self.model.sample_rate)
+                        for s in streams])
+                t = len(clips[i])
+                if streams.shape[-1] >= t:
+                    streams = streams[..., :t]
+                else:
+                    streams = np.pad(
+                        streams, ((0, 0), (0, t - streams.shape[-1])))
+                out[i] = streams
+        for i, c in enumerate(clips):
+            if out[i] is None:
+                out[i] = self.separate(c, sr=sr)
+        return out
+
     def separate(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
         """(2, T) separated sources at the input rate, loudest first."""
         from ..ops.resample import resample_poly_np

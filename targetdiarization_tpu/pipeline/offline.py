@@ -267,46 +267,58 @@ class TargetDiarization:
                     })
         else:
             noise_spks = sorted(set(sd_result) - {target_spk})
-            for spk, ranges in overlaps.items():
-                if spk in noise_spks:
+            # collect every overlap region, separate them all in one
+            # batched forward (the reference loops one model call per
+            # region, TargetDiarization.py:760)
+            tasks = [
+                (spk, s, e)
+                for spk, ranges in overlaps.items()
+                if spk not in noise_spks
+                for s, e in ranges
+            ]
+            clips = [
+                self.ap.split_audio_by_time(audio_data, sampling_rate, s, e)
+                for _, s, e in tasks
+            ]
+            seps = (self.tasr.multi_speakers_separate_batch(
+                clips, target_embedding, threshold=0.0, sr=sampling_rate)
+                if clips else [])
+            for (spk, s, e), sep in zip(tasks, seps):
+                if not sep:
                     continue
-                for s, e in ranges:
-                    clip = self.ap.split_audio_by_time(audio_data, sampling_rate, s, e)
-                    sep = self.tasr.multi_speakers_separate_asr(
-                        clip, target_embedding=target_embedding, threshold=0.0,
-                        is_output_asr=False,
-                        more_args={"asr_engine": self.asr_engine})
-                    if not sep:
-                        continue
-                    t_audio = self.ap.audio_loudness_control(
-                        sep[0]["audio"], sampling_rate)
-                    t_range = [round(s + sep[0]["timerange"][0], 3),
-                               round(s + sep[0]["timerange"][1], 3)]
+                t_audio = self.ap.audio_loudness_control(
+                    sep[0]["audio"], sampling_rate)
+                t_range = [round(s + sep[0]["timerange"][0], 3),
+                           round(s + sep[0]["timerange"][1], 3)]
+                asr_result.append({
+                    "speaker": spk, "timerange": t_range, "text": "",
+                    "type": "overlap", "audio": t_audio,
+                })
+                if noise_spks and len(sep) > 1:
+                    n_range = [round(s + sep[1]["timerange"][0], 3),
+                               round(s + sep[1]["timerange"][1], 3)]
                     asr_result.append({
-                        "speaker": spk, "timerange": t_range, "text": "",
-                        "type": "overlap", "audio": t_audio,
+                        "speaker": noise_spks[0], "timerange": n_range,
+                        "text": "", "type": "overlap",
+                        "audio": sep[1]["audio"],
                     })
-                    if noise_spks and len(sep) > 1:
-                        n_range = [round(s + sep[1]["timerange"][0], 3),
-                                   round(s + sep[1]["timerange"][1], 3)]
-                        asr_result.append({
-                            "speaker": noise_spks[0], "timerange": n_range,
-                            "text": "", "type": "overlap",
-                            "audio": sep[1]["audio"],
-                        })
 
         if not asr_result:
             return asr_result
         asr_result.sort(key=lambda x: x["timerange"][0])
 
         new_result = []
-        for spk in sorted({item["speaker"] for item in asr_result}):
-            combined = self.combine_audio_chunks(asr_result, spk, sampling_rate)
-            if combined is None:
-                continue
-            asr = self.tasr.asrp.asr_detection(
-                combined, sampling_rate, asr_engine=self.asr_engine,
-                no_punc=True)[0]
+        speakers = sorted({item["speaker"] for item in asr_result})
+        combined_map = {
+            spk: self.combine_audio_chunks(asr_result, spk, sampling_rate)
+            for spk in speakers
+        }
+        speakers = [s for s in speakers if combined_map[s] is not None]
+        # ONE batched ASR dispatch for all speakers' combined tracks
+        asr_results = self.tasr.asrp.asr_detection_batch(
+            [combined_map[s] for s in speakers], sampling_rate, no_punc=True)
+        for spk, asr in zip(speakers, asr_results):
+            combined = combined_map[spk]
             timestamps = asr.get("timestamp") or []
             if not timestamps:
                 text = self.tasr.asrp.punctuation_restore(asr["text"].strip())

@@ -240,6 +240,50 @@ class TargetASR:
                 out_audio if is_output_audio else None))
         return result
 
+    def multi_speakers_separate_batch(self, clips: list, target_embedding,
+                                      threshold: float = 0.0,
+                                      sr: int = 16000) -> list:
+        """Batched form of multi_speakers_separate_asr(is_output_asr=False)
+        over many overlap clips: ONE separation forward, ONE embedding
+        dispatch per bucket, ONE VAD dispatch — instead of 3 dispatches
+        per clip. Returns a per-clip list of result entries (same schema,
+        audio included, no ASR text)."""
+        if self.ap.separator is None:
+            # soft degradation mirrors separate_speaker: input twice
+            seps = [np.stack([np.asarray(c, np.float32)] * 2) for c in clips]
+        else:
+            seps = self.ap.separator.separate_batch(clips, sr=sr)
+        streams = [s for pair in seps for s in (pair[0], pair[1])]
+        embs = self.spk.embed_batch(streams, sr=sr)
+        vads = (self.asrp.vad_detection_batch(streams, sr)
+                if self.asrp.vad is not None
+                else [[[0.0, len(s) / sr]] for s in streams])
+        out = []
+        for ci in range(len(clips)):
+            s1, s2 = seps[ci][0], seps[ci][1]
+            e1, e2 = embs[2 * ci], embs[2 * ci + 1]
+            sc1 = self._best_similarity(e1, target_embedding)
+            sc2 = self._best_similarity(e2, target_embedding)
+            if sc1 < threshold and sc2 < threshold:
+                out.append([])
+                continue
+            if sc1 >= sc2:
+                ordered = ((round(sc1, 2), s1, vads[2 * ci]),
+                           (round(sc2, 2), s2, vads[2 * ci + 1]))
+            else:
+                ordered = ((round(sc2, 2), s2, vads[2 * ci + 1]),
+                           (round(sc1, 2), s1, vads[2 * ci]))
+            entries = []
+            for score, audio, sub_vad in ordered:
+                if not sub_vad:
+                    continue
+                if self.ap.is_restore_audio:
+                    audio = self.ap.restore_audio(audio, sr)
+                entries.append(self._entry(
+                    [sub_vad[0][0], sub_vad[-1][1]], "", score, sr, audio))
+            out.append(entries)
+        return out
+
     def single_speaker_asr(self, asr_audio, is_output_audio: bool = False,
                            more_args: dict | None = None) -> list:
         """Plain ASR in the common result schema (TargetASR.py:658-686)."""

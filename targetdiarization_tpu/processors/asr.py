@@ -178,6 +178,24 @@ class ASRProcessor:
             res[0]["text"] = self.punc.punctuation_restore(res[0]["text"])
         return res
 
+    def asr_detection_batch(self, audios: list, sampling_rate: int = 16000,
+                            no_punc: bool = False, **kw) -> list:
+        """Batched asr_detection for local engines (one device dispatch
+        per bucket); falls back to per-item calls otherwise."""
+        if self.asr is None:
+            return [{"text": "", "timestamp": []} for _ in audios]
+        if hasattr(self.asr, "asr_detection_batch"):
+            with trace("asr/asr_detection"):
+                results = self.asr.asr_detection_batch(audios, sr=sampling_rate)
+        else:
+            results = [self.asr.asr_detection(a, sr=sampling_rate)[0]
+                       for a in audios]
+        if not no_punc and self.punc is not None:
+            for r in results:
+                if r["text"]:
+                    r["text"] = self.punc.punctuation_restore(r["text"])
+        return results
+
     def asr_detection_api(self, audio_data: np.ndarray, sampling_rate: int,
                           engine: str, prompt: str = "") -> list:
         """Cloud ASR clients (tencent/xunfei/gemini/jzx). Network egress
