@@ -24,6 +24,8 @@ XLA-friendly form (static segmentation, masked norms, scan-based RNNs):
   BSRNN        band-split RNN over STFT bands (look2hear bsrnn.py:50)
   TDANet       top-down attention pyramid (look2hear tdanet.py)
   TFGridNet    time-frequency grid dual-RNN (look2hear TFGNet.py:352)
+  MossFormer   v1, FLASH-only stack (look2hear mossformer.py:476)
+  AFRCNN       asynchronous fully recurrent conv net (look2hear afrcnn.py)
 """
 
 from __future__ import annotations
@@ -544,3 +546,130 @@ class TFGridNet(nn.Module):
         est = est.transpose(0, 3, 1, 2).reshape(b * self.num_spks, f, tt)
         wavs = istft(est, self.n_fft, self.hop, length=t_in)
         return wavs.reshape(b, self.num_spks, t_in)
+
+
+# ---------------- MossFormer (v1) ----------------
+
+
+@register_model(name="MossFormer")
+class MossFormer(nn.Module):
+    """MossFormer v1 (look2hear mossformer.py:476): the MossFormer2
+    architecture WITHOUT the interleaved gated-FSMN blocks — a pure stack
+    of FLASH shared-A attention blocks between the conv encoder/decoder.
+    Implemented by composing the separation module's pieces."""
+
+    dim: int = 512
+    enc_channels: int = 512
+    num_blocks: int = 24
+    kernel_size: int = 16
+    num_spks: int = 2
+    group_size: int = 256
+    qk_dim: int = 128
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, wav, lengths=None, deterministic: bool = True):
+        from .separation import FlashBlock, GlobalLayerNorm
+
+        b, t_in = wav.shape
+        if lengths is None:
+            lengths = jnp.full((b,), t_in)
+        stride = self.kernel_size // 2
+        x = nn.Conv(self.enc_channels, (self.kernel_size,), strides=(stride,),
+                    padding="VALID", use_bias=False, name="encoder")(
+            wav[..., None])
+        x = jax.nn.relu(x)
+        t_enc = x.shape[1]
+        pad = (-t_enc) % self.group_size
+        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        t_pad = t_enc + pad
+        enc_lengths = jnp.clip(
+            (lengths - self.kernel_size) // stride + 1, 1, t_enc)
+        mask = (jnp.arange(t_pad)[None, :] < enc_lengths[:, None]).astype(
+            x.dtype)
+        h = GlobalLayerNorm(self.enc_channels, name="in_norm")(xp, mask)
+        h = nn.Dense(self.dim, use_bias=False, name="bottleneck")(h)
+        for i in range(self.num_blocks):
+            h = FlashBlock(dim=self.dim, group_size=self.group_size,
+                           qk_dim=self.qk_dim, name=f"flash_{i}")(
+                h, mask, deterministic)
+        h = nn.LayerNorm(name="out_ln")(h)
+        m = nn.Dense(self.enc_channels * self.num_spks, name="mask_out")(
+            jax.nn.relu(h))
+        m = jax.nn.relu(m).reshape(b, t_pad, self.num_spks, self.enc_channels)
+        m = m[:, :t_enc]
+        dec = _EncDec.decode_module(self.kernel_size)
+        return _mask_decode(x, m, dec, self.num_spks, t_in)
+
+
+# ---------------- A-FRCNN ----------------
+
+
+class _FRCNNBlock(nn.Module):
+    """One asynchronous fully-recurrent conv block: multi-scale pyramid
+    with bidirectional (top-down + bottom-up) fusion at every depth."""
+
+    dim: int
+    depth: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        # build the downsampled pyramid
+        levels = [x]
+        cur = x
+        for i in range(self.depth - 1):
+            cur = nn.Conv(self.dim, (5,), strides=(2,), padding="SAME",
+                          name=f"down_{i}")(cur)
+            cur = jax.nn.gelu(cur)
+            levels.append(cur)
+        # fuse every level with its neighbours (async cross-scale sum)
+        fused = []
+        for i, lvl in enumerate(levels):
+            acc = lvl
+            if i > 0:
+                acc = acc + nn.Conv(self.dim, (5,), strides=(2,),
+                                    padding="SAME", name=f"n_down_{i}")(
+                    levels[i - 1])
+            if i < len(levels) - 1:
+                up = jax.image.resize(levels[i + 1], lvl.shape, "nearest")
+                acc = acc + nn.Dense(self.dim, name=f"n_up_{i}")(up)
+            fused.append(jax.nn.gelu(
+                nn.LayerNorm(name=f"ln_{i}")(acc)))
+        # collapse pyramid back to full resolution
+        out = fused[-1]
+        for i in reversed(range(len(fused) - 1)):
+            out = fused[i] + jax.image.resize(out, fused[i].shape, "nearest")
+        return x + nn.Dense(self.dim, name="out")(out)
+
+
+@register_model(name="AFRCNN")
+class AFRCNN(nn.Module):
+    """Asynchronous fully recurrent convolutional network separator
+    (look2hear afrcnn.py:372): one FRCNN block iterated with shared
+    weights (the 'recurrent' axis), multi-scale inside each iteration."""
+
+    enc_channels: int = 256
+    dim: int = 128
+    kernel_size: int = 16
+    n_iter: int = 4
+    depth: int = 4
+    num_spks: int = 2
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, wav, lengths=None, deterministic: bool = True):
+        b, t_in = wav.shape
+        x = _EncDec.encode(wav, self.enc_channels, self.kernel_size)
+        t = x.shape[1]
+        pad = (-t) % (2 ** self.depth)
+        h = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        h = nn.Dense(self.dim, name="bottleneck")(nn.LayerNorm(name="in_ln")(h))
+        block = _FRCNNBlock(self.dim, depth=self.depth, name="frcnn")
+        for _ in range(self.n_iter):  # shared weights across iterations
+            h = block(h)
+        h = h[:, :t]
+        m = nn.Dense(self.enc_channels * self.num_spks, name="mask_out")(
+            jax.nn.relu(h))
+        m = jax.nn.relu(m).reshape(b, t, self.num_spks, self.enc_channels)
+        dec = _EncDec.decode_module(self.kernel_size)
+        return _mask_decode(x, m, dec, self.num_spks, t_in)

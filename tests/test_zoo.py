@@ -20,6 +20,9 @@ TINY = {
     "TDANet": dict(enc_channels=16, dim=16, depth=2, n_blocks=1),
     "BSRNN": dict(n_bands=4, dim=16, hidden=16, n_layers=1),
     "TFGridNet": dict(dim=8, hidden=16, n_layers=1),
+    "MossFormer": dict(dim=32, enc_channels=32, num_blocks=1, group_size=64,
+                       qk_dim=32),
+    "AFRCNN": dict(enc_channels=16, dim=16, n_iter=2, depth=2),
 }
 
 
