@@ -312,10 +312,13 @@ class SpeakerEngine:
 
     # -------- embedding extraction --------
 
-    def embed_batch(self, audios: list, sr: int = 16000) -> np.ndarray:
+    def embed_batch(self, audios: list, sr: int = 16000,
+                    single_dispatch: bool = False) -> np.ndarray:
         """(N, 192) embeddings for a list of audio arrays: one padded
         batched device dispatch per sample bucket (fbank + CMN + forward
-        fused in the jitted program)."""
+        fused in the jitted program). single_dispatch=True pads ALL clips
+        to one shared bucket — more padded compute, but exactly one
+        device round trip (wins when link latency dominates)."""
         max_n = int(MAX_EMBED_SECONDS * sr)
         clips = []
         for a in audios:
@@ -327,10 +330,15 @@ class SpeakerEngine:
             clips.append(a)
         out = np.zeros((len(clips), EMBED_DIM), np.float32)
         by_bucket: dict = {}
-        for i, a in enumerate(clips):
-            if features.num_frames(len(a)) == 0:
-                continue  # zero-embedding fallback (reference TargetASR.py:204)
-            by_bucket.setdefault(_SAMPLE_LADDER.bucket(len(a)), []).append(i)
+        valid = [i for i, a in enumerate(clips)
+                 if features.num_frames(len(a)) > 0]
+        if single_dispatch and valid:
+            top = _SAMPLE_LADDER.bucket(max(len(clips[i]) for i in valid))
+            by_bucket[top] = valid
+        else:
+            for i in valid:
+                by_bucket.setdefault(
+                    _SAMPLE_LADDER.bucket(len(clips[i])), []).append(i)
         for bucket, idxs in by_bucket.items():
             batch = np.stack([pad_to(clips[i], bucket) for i in idxs])
             n_frames = np.array(

@@ -182,7 +182,8 @@ class TargetDiarization:
             clips = [c for c in clips if c.size]
             if not clips:
                 continue
-            embs = self.tasr.spk.embed_batch(clips, sr=sampling_rate)
+            embs = self.tasr.spk.embed_batch(clips, sr=sampling_rate,
+                                             single_dispatch=True)
             scores = [
                 self.tasr.cosine_similarity(target_embedding, e)
                 for e in embs
