@@ -304,12 +304,20 @@ class TargetASR:
         if isinstance(target_audio_list, str):
             target_audio_list = [target_audio_list]
         prompt_list = prompt_list or []
+
+        def _localize(item):
+            if isinstance(item, str) and item.startswith("http"):
+                return self.ap.download_audio(item)  # reference URL support
+            return item
+
+        target_audio_list = [_localize(t) for t in target_audio_list]
         target_embedding = (
             self.get_target_embedding(target_audio_list)
             if target_audio_list else None
         )
         texts = []
         for i, asr_audio in enumerate(asr_audio_list):
+            asr_audio = _localize(asr_audio)
             more = dict(more_args or {})
             if len(prompt_list) == len(asr_audio_list):
                 more["prompt"] = prompt_list[i]

@@ -85,6 +85,22 @@ class AudioProcessor:
             return wav_file.astype(np.float32), sampling_rate or 16000
         return audio_io.read_audio(wav_file, sample_rate=sampling_rate)
 
+    def download_audio(self, url: str, output_dir: str = "/tmp") -> str:
+        """Fetch a remote audio file to a temp path (reference
+        AudioProcessor download_audio, used by batch_target_speaker_asr
+        TargetASR.py:395-400). Soft-fails with RuntimeError when network
+        egress is unavailable (this environment)."""
+        import urllib.request
+        import uuid
+
+        name = os.path.join(output_dir, f"td_{uuid.uuid4().hex[:8]}_"
+                            + os.path.basename(url).split("?")[0])
+        try:
+            urllib.request.urlretrieve(url, name)
+        except Exception as e:
+            raise RuntimeError(f"download failed for {url!r}: {e}") from e
+        return name
+
     def write_to_file(self, audio_data, sampling_rate: int, output_file: str):
         audio_io.write_audio(output_file, np.asarray(audio_data), sampling_rate)
         return output_file
@@ -102,8 +118,13 @@ class AudioProcessor:
     # ---------------- channel / rate / level ----------------
 
     def audio_to_mono(self, audio_data: np.ndarray) -> np.ndarray:
-        """Layout-aware downmix incl. 5.1/7.1 (AudioProcessor.py:350-366)."""
-        return np.asarray(A.to_mono(jnp.asarray(np.asarray(audio_data, np.float32))))
+        """Layout-aware downmix incl. 5.1/7.1 (AudioProcessor.py:350-366).
+        Mono input short-circuits on host — a no-op device round trip
+        costs ~45 ms through the TPU tunnel."""
+        audio_data = np.asarray(audio_data, np.float32)
+        if audio_data.ndim == 1:
+            return audio_data
+        return np.asarray(A.to_mono(jnp.asarray(audio_data)))
 
     def mono_to_stereo(self, audio_data: np.ndarray) -> np.ndarray:
         a = np.asarray(audio_data, np.float32)
