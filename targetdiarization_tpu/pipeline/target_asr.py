@@ -305,9 +305,13 @@ class TargetASR:
             target_audio_list = [target_audio_list]
         prompt_list = prompt_list or []
 
+        temps: list = []
+
         def _localize(item):
-            if isinstance(item, str) and item.startswith("http"):
-                return self.ap.download_audio(item)  # reference URL support
+            if self.ap.is_url(item):
+                local = self.ap.download_audio(item)
+                temps.append(local)  # deleted after use (reference
+                return local  # TargetASR.py:399-401, 414-416)
             return item
 
         target_audio_list = [_localize(t) for t in target_audio_list]
@@ -325,6 +329,11 @@ class TargetASR:
                 asr_audio, target_embedding=target_embedding,
                 threshold=threshold, more_args=more)
             texts.append(" ".join(r["text"] for r in res if r.get("text")).strip())
+        for t in temps:
+            try:
+                os.remove(t)
+            except OSError:
+                pass
         return texts
 
     def target_speaker_duration(self, input_audio, target_embedding=None,

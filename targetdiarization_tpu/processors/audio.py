@@ -79,10 +79,26 @@ class AudioProcessor:
 
     # ---------------- I/O ----------------
 
+    @staticmethod
+    def is_url(item) -> bool:
+        return isinstance(item, str) and item.lower().startswith(
+            ("http://", "https://"))
+
     def read_audio(self, wav_file, sampling_rate: int | None = None):
-        """(audio, sr) — file path, bytes, or pass-through ndarray."""
+        """(audio, sr) — file path, URL, bytes, or pass-through ndarray.
+        URLs are localized here so EVERY entry point accepts them
+        (reference AudioProcessor.py:329-331)."""
         if isinstance(wav_file, np.ndarray):
             return wav_file.astype(np.float32), sampling_rate or 16000
+        if self.is_url(wav_file):
+            local = self.download_audio(wav_file)
+            try:
+                return audio_io.read_audio(local, sample_rate=sampling_rate)
+            finally:
+                try:
+                    os.unlink(local)
+                except OSError:
+                    pass
         return audio_io.read_audio(wav_file, sample_rate=sampling_rate)
 
     def download_audio(self, url: str, output_dir: str = "/tmp") -> str:
@@ -93,11 +109,20 @@ class AudioProcessor:
         import urllib.request
         import uuid
 
-        name = os.path.join(output_dir, f"td_{uuid.uuid4().hex[:8]}_"
-                            + os.path.basename(url).split("?")[0])
+        # strip query/fragment BEFORE taking the last path segment, and
+        # fall back to .wav when the name carries no extension
+        # (reference filename derivation)
+        base = os.path.basename(url.split("?")[0].split("#")[0].rstrip("/"))
+        if "." not in base:
+            base = (base or "audio") + ".wav"
+        name = os.path.join(output_dir, f"td_{uuid.uuid4().hex[:8]}_{base}")
         try:
             urllib.request.urlretrieve(url, name)
         except Exception as e:
+            try:  # never leave a partially written file behind
+                os.unlink(name)
+            except OSError:
+                pass
             raise RuntimeError(f"download failed for {url!r}: {e}") from e
         return name
 
@@ -119,12 +144,14 @@ class AudioProcessor:
 
     def audio_to_mono(self, audio_data: np.ndarray) -> np.ndarray:
         """Layout-aware downmix incl. 5.1/7.1 (AudioProcessor.py:350-366).
-        Mono input short-circuits on host — a no-op device round trip
-        costs ~45 ms through the TPU tunnel."""
-        audio_data = np.asarray(audio_data, np.float32)
+        Mono input short-circuits on host with its dtype PRESERVED (like
+        the reference) so callers' int16→float32 scaling checks stay
+        live; the no-op device round trip costs ~45 ms via the tunnel."""
+        audio_data = np.asarray(audio_data)
         if audio_data.ndim == 1:
             return audio_data
-        return np.asarray(A.to_mono(jnp.asarray(audio_data)))
+        return np.asarray(A.to_mono(jnp.asarray(
+            audio_data.astype(np.float32))))
 
     def mono_to_stereo(self, audio_data: np.ndarray) -> np.ndarray:
         a = np.asarray(audio_data, np.float32)

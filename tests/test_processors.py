@@ -177,3 +177,83 @@ class TestASRProcessor:
     def test_diarization_disabled(self, asrp, chat_mix):
         audio, sr = chat_mix
         assert asrp.speaker_diarization(audio[:sr], sr) == {"text": []}
+
+
+class TestUrlHandling:
+    def test_download_audio_filename_and_cleanup(self, ap, monkeypatch,
+                                                 tmp_path):
+        captured = {}
+
+        def fake_retrieve(url, name):
+            captured["name"] = name
+            import shutil
+
+            shutil.copy("/root/reference/assets/chat_mix.wav", name)
+
+        import urllib.request
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        path = ap.download_audio("https://cdn/clip.wav?sig=ab/cd",
+                                 output_dir=str(tmp_path))
+        assert path.endswith("_clip.wav")  # query stripped before basename
+        path2 = ap.download_audio("https://cdn/stream/",
+                                  output_dir=str(tmp_path))
+        assert path2.endswith(".wav")  # extension fallback
+
+    def test_download_failure_leaves_no_partial_file(self, ap, monkeypatch,
+                                                     tmp_path):
+        def boom(url, name):
+            with open(name, "wb") as f:
+                f.write(b"partial")
+            raise OSError("connection reset")
+
+        import urllib.request
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", boom)
+        import os as _os
+
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            ap.download_audio("https://cdn/x.wav", output_dir=str(tmp_path))
+        assert not any(f.startswith("td_") for f in _os.listdir(str(tmp_path)))
+
+    def test_is_url_dispatch(self, ap):
+        assert ap.is_url("https://cdn/x.wav") and ap.is_url("HTTP://a/b")
+        assert not ap.is_url("http_recording.wav")
+        assert not ap.is_url(np.zeros(4))
+
+    def test_read_audio_localizes_urls(self, ap, monkeypatch):
+        def fake_retrieve(url, name):
+            import shutil
+
+            shutil.copy("/root/reference/assets/chat_mix.wav", name)
+
+        import urllib.request
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        audio, sr = ap.read_audio("https://cdn/audio.wav")
+        assert sr == 16000 and len(audio) > 0
+
+    def test_int16_mono_dtype_preserved(self, ap):
+        """Regression: mono passthrough must NOT cast int16 to float —
+        callers' int16→float32 scaling checks depend on the dtype."""
+        pcm = (np.ones(1000) * 12000).astype(np.int16)
+        out = ap.audio_to_mono(pcm)
+        assert out.dtype == np.int16
+
+    def test_int16_pipeline_scaling(self, ap):
+        """End-to-end: int16 audio through audio_preprocess lands in
+        [-1, 1] float32 (the 1/32768 scaling actually applies)."""
+        from targetdiarization_tpu.pipeline.offline import TargetDiarization
+        from targetdiarization_tpu.pipeline.target_asr import TargetASR
+        from targetdiarization_tpu.processors.asr import ASRProcessor
+        from targetdiarization_tpu.models.speaker import SpeakerEngine
+
+        td = TargetDiarization(target_asr=TargetASR(
+            audio_processor=ap, asr_processor=ASRProcessor(),
+            speaker_engine=SpeakerEngine(model_name="eres2net")))
+        pcm = (np.sin(np.linspace(0, 400, 16000)) * 12000).astype(np.int16)
+        out, sr = td.audio_preprocess(pcm, 16000)
+        assert out.dtype == np.float32
+        assert np.max(np.abs(out)) <= 1.5  # scaled, not raw ±12000
