@@ -445,6 +445,8 @@ class SeparationEngine:
         from ..ops.resample import resample_poly_np
         from ..utils.native import integrated_loudness_native
 
+        from ..runtime.trace import trace
+
         clips = [np.asarray(c, np.float32) for c in clips]
         if sr != self.model.sample_rate:
             work = [resample_poly_np(c, self.model.sample_rate, sr)
@@ -458,9 +460,10 @@ class SeparationEngine:
             batch = np.stack([np.pad(work[i], (0, win - len(work[i])))
                               for i in small])
             lengths = np.array([len(work[i]) for i in small])
-            est = np.asarray(self._apply(
-                self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
-            ).astype(np.float32)
+            with trace("audio/separate_batch"):
+                est = np.asarray(self._apply(
+                    self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
+                ).astype(np.float32)
             for j, i in enumerate(small):
                 streams = est[j, :, : len(work[i])]
                 louds = [integrated_loudness_native(s, self.model.sample_rate)

@@ -89,9 +89,7 @@ class TargetDiarization:
         separation-denoise (streaming) → loudness
         (reference TargetDiarization.py:166-182)."""
         audio_data = self.ap.audio_to_mono(np.asarray(audio_data))
-        if audio_data.dtype.kind == "i":
-            audio_data = self.ap.int16_to_float32(audio_data)
-        audio_data = audio_data.astype(np.float32)
+        audio_data = self.ap.int16_to_float32(audio_data)  # no-op on float
         try:
             audio_data, sampling_rate = self.ap.audio_resample(
                 audio_data, sampling_rate, 16000)

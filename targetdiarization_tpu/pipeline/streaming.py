@@ -70,10 +70,8 @@ class TargetDiarizationStream(TargetDiarization):
                          ) -> np.ndarray:
         """mono → f32 → 16 kHz (reference :37-41)."""
         audio_data = self.ap.audio_to_mono(np.asarray(audio_data))
-        if audio_data.dtype.kind == "i":
-            audio_data = self.ap.int16_to_float32(audio_data)
-        audio_data, _ = self.ap.audio_resample(
-            audio_data.astype(np.float32), sampling_rate, 16000)
+        audio_data = self.ap.int16_to_float32(audio_data)  # no-op on float
+        audio_data, _ = self.ap.audio_resample(audio_data, sampling_rate, 16000)
         return audio_data
 
     # ---------------- main loop ----------------

@@ -305,23 +305,14 @@ class TargetASR:
             target_audio_list = [target_audio_list]
         prompt_list = prompt_list or []
 
-        temps: list = []
-
-        def _localize(item):
-            if self.ap.is_url(item):
-                local = self.ap.download_audio(item)
-                temps.append(local)  # deleted after use (reference
-                return local  # TargetASR.py:399-401, 414-416)
-            return item
-
-        target_audio_list = [_localize(t) for t in target_audio_list]
+        # URL inputs need no special handling here: read_audio localizes
+        # them at every entry point with guaranteed temp cleanup
         target_embedding = (
             self.get_target_embedding(target_audio_list)
             if target_audio_list else None
         )
         texts = []
         for i, asr_audio in enumerate(asr_audio_list):
-            asr_audio = _localize(asr_audio)
             more = dict(more_args or {})
             if len(prompt_list) == len(asr_audio_list):
                 more["prompt"] = prompt_list[i]
@@ -329,11 +320,6 @@ class TargetASR:
                 asr_audio, target_embedding=target_embedding,
                 threshold=threshold, more_args=more)
             texts.append(" ".join(r["text"] for r in res if r.get("text")).strip())
-        for t in temps:
-            try:
-                os.remove(t)
-            except OSError:
-                pass
         return texts
 
     def target_speaker_duration(self, input_audio, target_embedding=None,

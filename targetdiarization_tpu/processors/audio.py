@@ -89,7 +89,7 @@ class AudioProcessor:
         URLs are localized here so EVERY entry point accepts them
         (reference AudioProcessor.py:329-331)."""
         if isinstance(wav_file, np.ndarray):
-            return wav_file.astype(np.float32), sampling_rate or 16000
+            return self.int16_to_float32(wav_file), sampling_rate or 16000
         if self.is_url(wav_file):
             local = self.download_audio(wav_file)
             try:
@@ -134,7 +134,13 @@ class AudioProcessor:
 
     @staticmethod
     def int16_to_float32(x: np.ndarray) -> np.ndarray:
-        return (np.asarray(x, np.float32) / 32768.0).astype(np.float32)
+        """Dtype-aware: integer PCM is scaled to [-1, 1]; float input
+        passes through unchanged (safe to call unconditionally, like the
+        reference's converter)."""
+        x = np.asarray(x)
+        if x.dtype.kind == "i":
+            return (x.astype(np.float32) / 32768.0).astype(np.float32)
+        return x.astype(np.float32)
 
     @staticmethod
     def float32_to_int16(x: np.ndarray) -> np.ndarray:
@@ -144,14 +150,14 @@ class AudioProcessor:
 
     def audio_to_mono(self, audio_data: np.ndarray) -> np.ndarray:
         """Layout-aware downmix incl. 5.1/7.1 (AudioProcessor.py:350-366).
-        Mono input short-circuits on host with its dtype PRESERVED (like
-        the reference) so callers' int16→float32 scaling checks stay
-        live; the no-op device round trip costs ~45 ms via the tunnel."""
-        audio_data = np.asarray(audio_data)
+        Integer PCM is scaled to [-1, 1] float32 in BOTH branches (so the
+        downmix can never silently strip the int16 dtype signal); mono
+        input short-circuits on host — the no-op device round trip costs
+        ~45 ms via the tunnel."""
+        audio_data = self.int16_to_float32(audio_data)
         if audio_data.ndim == 1:
             return audio_data
-        return np.asarray(A.to_mono(jnp.asarray(
-            audio_data.astype(np.float32))))
+        return np.asarray(A.to_mono(jnp.asarray(audio_data)))
 
     def mono_to_stereo(self, audio_data: np.ndarray) -> np.ndarray:
         a = np.asarray(audio_data, np.float32)

@@ -235,12 +235,21 @@ class TestUrlHandling:
         audio, sr = ap.read_audio("https://cdn/audio.wav")
         assert sr == 16000 and len(audio) > 0
 
-    def test_int16_mono_dtype_preserved(self, ap):
-        """Regression: mono passthrough must NOT cast int16 to float —
-        callers' int16→float32 scaling checks depend on the dtype."""
+    def test_int16_mono_scaled(self, ap):
+        """Regression: integer PCM through audio_to_mono must come out
+        scaled to [-1, 1] — for mono AND multichannel input."""
         pcm = (np.ones(1000) * 12000).astype(np.int16)
         out = ap.audio_to_mono(pcm)
-        assert out.dtype == np.int16
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, 12000 / 32768.0, atol=1e-6)
+        stereo = np.stack([pcm, pcm])
+        out2 = ap.audio_to_mono(stereo)
+        np.testing.assert_allclose(out2, 12000 / 32768.0, atol=1e-4)
+
+    def test_int16_ndarray_read_audio_scaled(self, ap):
+        pcm = (np.ones(100) * 16384).astype(np.int16)
+        audio, sr = ap.read_audio(pcm)
+        np.testing.assert_allclose(audio, 0.5, atol=1e-6)
 
     def test_int16_pipeline_scaling(self, ap):
         """End-to-end: int16 audio through audio_preprocess lands in
