@@ -151,8 +151,12 @@ class Apollo(nn.Module):
         return bw, n_uniform, tail
 
     @nn.compact
-    def __call__(self, wav):
-        # wav: (B, T) mono or (B, C, T)
+    def __call__(self, wav, return_spec: bool = False):
+        # wav: (B, T) mono or (B, C, T); return_spec=True yields the
+        # estimated complex spectrum instead of the waveform (training
+        # uses spectrum losses so gradients never differentiate through
+        # the iSTFT — rfft/irfft backward is unimplemented on some TPU
+        # runtimes)
         squeeze_ch = wav.ndim == 2
         if squeeze_ch:
             wav = wav[:, None, :]
@@ -211,18 +215,27 @@ class Apollo(nn.Module):
         uni_out = jnp.einsum("bktd,kdc->bktc", feat[:, :n_uni], ow) + ob[None, :, None, :]
         val, gate = jnp.split(uni_out, 2, axis=-1)
         uni_ri = val * jax.nn.sigmoid(gate)  # (BC, 79, T, 2bw)
-        uni_spec = (
-            uni_ri[..., :bw] + 1j * uni_ri[..., bw:]
-        ).transpose(0, 1, 3, 2).reshape(b * ch, n_uni * bw, t)
+        uni_real = uni_ri[..., :bw].transpose(0, 1, 3, 2).reshape(
+            b * ch, n_uni * bw, t)
+        uni_imag = uni_ri[..., bw:].transpose(0, 1, 3, 2).reshape(
+            b * ch, n_uni * bw, t)
 
         tow = self.param("tail_out_w", nn.initializers.lecun_normal(), (d, tail * 4))
         tob = self.param("tail_out_b", nn.initializers.zeros, (tail * 4,))
         tail_out = jnp.einsum("btd,dc->btc", feat[:, -1], tow) + tob[None, None, :]
         tval, tgate = jnp.split(tail_out, 2, axis=-1)
         tail_ri = tval * jax.nn.sigmoid(tgate)
-        tail_spec = (tail_ri[..., :tail] + 1j * tail_ri[..., tail:]).transpose(0, 2, 1)
+        tail_real = tail_ri[..., :tail].transpose(0, 2, 1)
+        tail_imag = tail_ri[..., tail:].transpose(0, 2, 1)
 
-        est = jnp.concatenate([uni_spec, tail_spec], axis=1)  # (BC, F, T)
+        est_real = jnp.concatenate([uni_real, tail_real], axis=1)  # (BC, F, T)
+        est_imag = jnp.concatenate([uni_imag, tail_imag], axis=1)
+        if return_spec:
+            # real/imag planes as REAL tensors: training losses never
+            # build complex arrays (complex backward is unimplemented on
+            # some TPU runtimes)
+            return jnp.stack([est_real, est_imag], axis=-1)
+        est = est_real + 1j * est_imag
         out = istft(est, self.win, self.stride, length=nsample)
         out = out.reshape(b, ch, -1)
         return out[:, 0] if squeeze_ch else out

@@ -91,6 +91,8 @@ def build_model(config=None):
         "separation_model": os.path.join(repo, "checkpoints", "sep-bootstrap"),
         "embedding_model": os.path.join(repo, "checkpoints", "spk-bootstrap"),
         "segmentation_model": os.path.join(repo, "checkpoints", "seg-bootstrap"),
+        "denoise_model": os.path.join(repo, "checkpoints", "den-bootstrap"),
+        "restoration_model": os.path.join(repo, "checkpoints", "rest-bootstrap"),
     }
     for field, path in defaults.items():
         if not getattr(cfg, field) and os.path.exists(path):

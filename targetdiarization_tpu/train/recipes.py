@@ -406,3 +406,181 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
                "checkpoint": checkpoint_dir}
     log_fn(f"segmentation bootstrap: {metrics}")
     return metrics
+
+
+def bootstrap_restorer(steps: int = 250, batch: int = 4, seconds: float = 2.0,
+                       checkpoint_dir: str = "checkpoints/rest-bootstrap",
+                       seed: int = 0, log_fn=print) -> dict:
+    """Train a small Apollo restorer to undo synthetic degradation
+    (noise + lowpass + clipping) of the fixture voices at 16 kHz.
+
+    NOTE: on the axon-tunneled test TPU this recipe hits an UNIMPLEMENTED
+    backend error at production shapes (Apollo's 80-band grad program);
+    it runs on CPU (JAX_PLATFORMS=cpu) and standard TPU runtimes. The
+    spectrum-domain loss avoids rfft/irfft backward on all runtimes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.restoration import Apollo
+    from ..runtime.params import save_checkpoint
+    from .losses import si_sdr
+
+    rng = np.random.default_rng(seed)
+    voices = [_load_fixture("chat_mix.wav"), _load_fixture("female_a.wav")]
+    sr = 16000
+    n = int(seconds * sr)
+    model_args = dict(sr=sr, win_ms=20, feature_dim=64, layer=2)
+    model = Apollo(**model_args)
+
+    def degrade(clean):
+        x = clean.copy()
+        # additive noise
+        x = x + rng.standard_normal(n).astype(np.float32) * rng.uniform(0.005, 0.03)
+        # crude lowpass via moving average
+        k = int(rng.integers(2, 6))
+        x = np.convolve(x, np.ones(k, np.float32) / k, mode="same")
+        # clipping
+        c = rng.uniform(0.3, 0.9)
+        return np.clip(x, -c, c).astype(np.float32)
+
+    def sample_batch():
+        xs, ys = [], []
+        for _ in range(batch):
+            src = voices[int(rng.integers(len(voices)))]
+            start = int(rng.integers(0, max(len(src) - n, 1)))
+            clean = src[start: start + n]
+            clean = np.pad(clean, (0, n - len(clean)))
+            xs.append(degrade(clean))
+            ys.append(clean)
+        return np.stack(xs), np.stack(ys)
+
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, n)))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    from ..ops.stft import stft as _stft
+
+    @jax.jit
+    def step_fn(params, opt_state, noisy, clean):
+        def loss_fn(p):
+            # spectrum-domain loss: gradients flow through the model
+            # only, never through rfft/irfft (whose backward is
+            # unimplemented on this TPU runtime)
+            est_ri = model.apply(p, noisy, return_spec=True)  # (..., 2) real
+            ref_spec = _stft(clean, model.win, model.stride)
+            ref_ri = jnp.stack([ref_spec.real, ref_spec.imag], axis=-1)
+            return jnp.mean(jnp.abs(est_ri - jax.lax.stop_gradient(ref_ri)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        noisy, clean = sample_batch()
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(noisy), jnp.asarray(clean))
+        if (i + 1) % max(steps // 5, 1) == 0:
+            log_fn(f"rest step {i + 1}/{steps}: loss={float(loss):.3f}")
+
+    save_checkpoint(checkpoint_dir, params, "Apollo", model_args)
+
+    # eval: restoration must improve SI-SDR vs the degraded input
+    from .metrics import si_snr as _si_snr
+
+    src = voices[1][:n]
+    src = np.pad(src, (0, n - len(src)))
+    noisy = degrade(src)
+    est = np.asarray(model.apply(params, jnp.asarray(noisy)[None]))[0]
+    metrics = {
+        "final_loss": float(loss),
+        "noisy_si_sdr": round(_si_snr(noisy, src), 2),
+        "restored_si_sdr": round(_si_snr(est, src), 2),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"restorer bootstrap: {metrics}")
+    return metrics
+
+
+def bootstrap_denoiser(steps: int = 200, batch: int = 2,
+                       checkpoint_dir: str = "checkpoints/den-bootstrap",
+                       seed: int = 0, log_fn=print) -> dict:
+    """Train a small MDX TDF-UNet: predict the NOISE ("instrumental")
+    component of noisy stereo 44.1 kHz mixtures on the packed STFT, so
+    vocals = mix − prediction (the Inst-model contract the denoise
+    engine implements)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.denoise import DIM_F, DIM_T, TDFUNet, mdx_chunk_size, mdx_stft
+    from ..ops.resample import resample_poly_np
+    from ..runtime.params import save_checkpoint
+
+    rng = np.random.default_rng(seed)
+    hop = 1024
+    chunk = mdx_chunk_size(hop)
+    voices = [
+        resample_poly_np(_load_fixture("chat_mix.wav"), 44100, 16000),
+        resample_poly_np(_load_fixture("female_a.wav"), 44100, 16000),
+    ]
+    model = TDFUNet(channels=8, depth=3, growth=4)
+
+    def sample_batch():
+        mixes, noises = [], []
+        for _ in range(batch):
+            src = voices[int(rng.integers(len(voices)))]
+            start = int(rng.integers(0, max(len(src) - chunk, 1)))
+            speech = src[start: start + chunk]
+            speech = np.pad(speech, (0, chunk - len(speech)))
+            noise = rng.standard_normal(chunk).astype(np.float32)
+            noise *= rng.uniform(0.01, 0.1) / (np.abs(noise).max() + 1e-9)
+            mix = speech + noise
+            mixes.append(np.stack([mix, mix]))  # stereo
+            noises.append(np.stack([noise, noise]))
+        return np.stack(mixes), np.stack(noises)
+
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 4, DIM_F, DIM_T)))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, mix_wav, noise_wav):
+        def loss_fn(p):
+            mix_spec = mdx_stft(mix_wav, hop)
+            noise_spec = mdx_stft(noise_wav, hop)
+            pred = model.apply(p, mix_spec)
+            return jnp.mean(jnp.abs(pred - noise_spec))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        mix_wav, noise_wav = sample_batch()
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(mix_wav), jnp.asarray(noise_wav))
+        if (i + 1) % max(steps // 5, 1) == 0:
+            log_fn(f"den step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    save_checkpoint(checkpoint_dir, params, "TDFUNet",
+                    dict(channels=8, depth=3, growth=4))
+
+    # eval through the engine: denoising must raise SNR vs clean speech
+    from ..models.denoise import DenoiseEngine
+    from .metrics import si_snr as _si_snr
+
+    eng = DenoiseEngine(params=params, model=model, hop=hop)
+    src16 = _load_fixture("female_a.wav")
+    noise16 = rng.standard_normal(len(src16)).astype(np.float32) * 0.02
+    noisy16 = src16 + noise16
+    den = eng.denoise_vocal(noisy16, sr=16000)
+    metrics = {
+        "final_loss": float(loss),
+        "noisy_si_sdr": round(_si_snr(noisy16, src16), 2),
+        "denoised_si_sdr": round(_si_snr(den, src16), 2),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"denoiser bootstrap: {metrics}")
+    return metrics

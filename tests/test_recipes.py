@@ -65,3 +65,18 @@ class TestBootstrapSeparator:
 
         model, params = from_pretrained(str(tmp_path / "sep"))
         assert type(model).__name__ == "MossFormer2"
+
+
+class TestRestorerDenoiserRecipes:
+    def test_restorer_few_steps_cpu(self, tmp_path):
+        from targetdiarization_tpu.train.recipes import bootstrap_restorer
+
+        m = bootstrap_restorer(steps=2, batch=2, seconds=0.5,
+                               checkpoint_dir=str(tmp_path / "r"),
+                               log_fn=lambda *_: None)
+        assert np.isfinite(m["final_loss"])
+        # exported checkpoint loads via the registry as an Apollo
+        from targetdiarization_tpu.runtime.registry import from_pretrained
+
+        model, _ = from_pretrained(str(tmp_path / "r"))
+        assert type(model).__name__ == "Apollo"
