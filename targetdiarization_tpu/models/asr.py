@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.dwconv import DepthwiseConv1d
 from ..runtime.buckets import BucketLadder, pad_to
 from ..runtime.registry import register_model
 from . import features
@@ -75,9 +76,8 @@ class SANMAttention(nn.Module):
 
         # FSMN memory branch over the value path (self-attention only)
         if context is None:
-            mem = nn.Conv(
-                self.dim, (self.fsmn_kernel,), feature_group_count=self.dim,
-                padding="SAME", use_bias=False, name="fsmn",
+            mem = DepthwiseConv1d(
+                features=self.dim, kernel_size=self.fsmn_kernel, name="fsmn",
             )(v * mask[..., None])
             out = out + mem
         return nn.Dense(self.dim, name="out")(out)

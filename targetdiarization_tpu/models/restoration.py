@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.stft import stft, istft
+from ..ops.dwconv import DepthwiseConv1d
 from ..runtime.registry import register_model
 
 EPS = 1.1920928955078125e-07  # float32 eps, matches torch.finfo use
@@ -95,9 +96,9 @@ class ConvActNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (..., T, N)
-        h = nn.Conv(
-            self.dim, (self.kernel,), feature_group_count=self.dim,
-            padding="SAME", name="dw",
+        h = DepthwiseConv1d(
+            features=self.dim, kernel_size=self.kernel, use_bias=True,
+            name="dw",
         )(x)
         h = RMSNorm(self.dim, name="norm")(h)
         h = nn.Dense(self.dim * 4, name="up")(h)

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.dwconv import DepthwiseConv1d
 from ..runtime.registry import register_model
 
 
@@ -80,12 +81,9 @@ class GlobalLayerNorm(nn.Module):
 def conv_module(x, kernel: int = 17, name: str = "dwconv"):
     """Conformer conv module: residual depthwise conv along time."""
     c = x.shape[-1]
-    y = nn.Conv(
+    y = DepthwiseConv1d(
         features=c,
-        kernel_size=(kernel,),
-        feature_group_count=c,
-        padding="SAME",
-        use_bias=False,
+        kernel_size=kernel,
         name=name,
     )(x)
     return x + y
@@ -213,13 +211,10 @@ class DilatedDenseFsmnNet(nn.Module):
         for i in range(self.depth):
             dil = 2 ** i
             inp = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-            y = nn.Conv(
+            y = DepthwiseConv1d(
                 features=self.channels,
-                kernel_size=(k,),
-                kernel_dilation=(dil,),
-                feature_group_count=self.channels,
-                padding="SAME",
-                use_bias=False,
+                kernel_size=k,
+                dilation=dil,
                 name=f"conv{i}",
             )(inp)
             # masked per-channel instance norm over time

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.dwconv import DepthwiseConv1d
 from ..runtime.buckets import BucketLadder, pad_to
 from ..runtime.registry import register_model
 from . import features
@@ -50,13 +51,11 @@ class FsmnBlock(nn.Module):
         # depthwise temporal conv = the FSMN "memory"; zero padding keeps
         # the valid region independent of bucket padding (mask applied
         # before the conv so padded frames contribute nothing).
-        mem = nn.Conv(
+        mem = DepthwiseConv1d(
             features=self.proj,
-            kernel_size=(k,),
-            feature_group_count=self.proj,
-            kernel_dilation=(self.dilation,),
-            padding=[(self.lorder * self.dilation, self.rorder * self.dilation)],
-            use_bias=False,
+            kernel_size=k,
+            dilation=self.dilation,
+            padding=(self.lorder * self.dilation, self.rorder * self.dilation),
             name="memory",
         )(p)
         p = p + mem

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.stft import stft, istft
+from ..ops.dwconv import DepthwiseConv1d
 from ..runtime.registry import register_model
 
 
@@ -104,9 +105,8 @@ class _TCNBlock(nn.Module):
         h = nn.Dense(self.hidden, name="in1x1")(x)
         h = jax.nn.relu(h)
         h = _MaskedGLN(self.hidden, name="gln1")(h, mask)
-        h = nn.Conv(self.hidden, (self.kernel,), kernel_dilation=(self.dilation,),
-                    feature_group_count=self.hidden, padding="SAME",
-                    name="dwconv")(h)
+        h = DepthwiseConv1d(self.hidden, self.kernel, dilation=self.dilation,
+                            use_bias=True, name="dwconv")(h)
         h = jax.nn.relu(h)
         h = _MaskedGLN(self.hidden, name="gln2")(h, mask)
         return x + nn.Dense(self.dim, name="out1x1")(h)

@@ -27,30 +27,42 @@ def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """Slice (..., T) into overlapping frames (..., n_frames, frame_length)."""
+    """Slice (..., T) into overlapping frames (..., n_frames, frame_length).
+
+    Built from r = ceil(frame_length/hop) static slices of a (T//hop, hop)
+    strided reshape — no gather (a (n_frames × frame_length) index gather
+    lowers to a slow scatter/gather loop on TPU; the slice form is a pure
+    copy that XLA fuses)."""
     n = x.shape[-1]
-    n_frames = 1 + (n - frame_length) // hop if n >= frame_length else 0
-    idx = jnp.arange(frame_length)[None, :] + hop * jnp.arange(n_frames)[:, None]
-    return x[..., idx]
+    if n < frame_length:
+        return jnp.zeros((*x.shape[:-1], 0, frame_length), x.dtype)
+    n_frames = 1 + (n - frame_length) // hop
+    r = -(-frame_length // hop)  # hop-blocks per frame
+    need = max((n_frames - 1 + r) * hop, -(-n // hop) * hop)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
+    xr = xp.reshape(*x.shape[:-1], -1, hop)  # (..., n_blocks, hop)
+    parts = [xr[..., j : j + n_frames, :] for j in range(r)]
+    frames = jnp.concatenate(parts, axis=-1)  # (..., n_frames, r*hop)
+    return frames[..., :frame_length]
 
 
 def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     """Inverse of frame_signal: (..., n_frames, frame_length) → (..., T).
 
-    Implemented as a scatter-add over static indices (SURVEY.md §5.7's
-    'overlap-add as a jnp scatter-add').
-    """
+    r = ceil(frame_length/hop) static slice-adds on a hop-blocked
+    accumulator (duplicate-index scatter-add is pathologically slow on
+    TPU; slice-adds lower to dynamic-update-slice)."""
     n_frames, frame_length = frames.shape[-2], frames.shape[-1]
     out_len = (n_frames - 1) * hop + frame_length
-    idx = (jnp.arange(frame_length)[None, :] + hop * jnp.arange(n_frames)[:, None]).reshape(-1)
-    flat = frames.reshape(*frames.shape[:-2], -1)
-
-    def _oa(fr):
-        return jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(fr)
-
-    for _ in range(flat.ndim - 1):
-        _oa = jax.vmap(_oa)
-    return _oa(flat)
+    r = -(-frame_length // hop)
+    pad_f = r * hop - frame_length
+    fr = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, pad_f)])
+    fr = fr.reshape(*frames.shape[:-1], r, hop)  # (..., n_frames, r, hop)
+    batch = frames.shape[:-2]
+    acc = jnp.zeros((*batch, n_frames + r - 1, hop), frames.dtype)
+    for j in range(r):
+        acc = acc.at[..., j : j + n_frames, :].add(fr[..., :, j, :])
+    return acc.reshape(*batch, -1)[..., :out_len]
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "center"))

@@ -48,3 +48,82 @@ def test_auto_select_on_cpu_uses_reference(rng):
     av, au = flash_group_attention(*args, mask)  # auto: jnp on CPU
     rv, ru = flash_group_attention_reference(*args, mask)
     np.testing.assert_allclose(np.asarray(av), np.asarray(rv), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Depthwise conv: jnp shifted-add formulation and the Pallas tiled kernel
+# must both match lax.conv_general_dilated with feature_group_count=C
+# (the formulation shipped checkpoints were trained against).
+
+
+def _lax_dwconv(x, w, dilation, pad):
+    import jax.lax as lax
+
+    # x (B, T, Cin), w (K, m, C) — flax nn.Conv NWC/WIO grouped layout
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[pad],
+        rhs_dilation=(dilation,), feature_group_count=w.shape[2],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+
+
+@pytest.mark.parametrize("shape,k,m,dil", [
+    ((2, 100, 64), 3, 1, 1),
+    ((1, 257, 32), 39, 1, 1),
+    ((1, 200, 64), 3, 1, 8),
+    ((1, 64, 96), 5, 3, 2),
+])
+def test_dwconv_jnp_matches_lax(shape, k, m, dil, rng):
+    from targetdiarization_tpu.ops.dwconv import dw_conv1d
+
+    c = shape[-1] // m
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, m, c)) * 0.3, jnp.float32)
+    span = (k - 1) * dil
+    pad = (span // 2, span - span // 2)
+    got = dw_conv1d(x, w, dilation=dil, padding=pad)
+    want = _lax_dwconv(x, w, dil, pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,k,m,dil", [
+    ((1, 300, 128), 7, 1, 1),
+    ((1, 513, 128), 3, 1, 4),
+    ((2, 128, 256), 9, 2, 1),
+])
+def test_dwconv_pallas_matches_lax(shape, k, m, dil, rng):
+    from targetdiarization_tpu.ops.pallas.dwconv import (
+        dw_conv1d_pallas, supported)
+
+    c = shape[-1] // m
+    assert supported(shape, (k, m, c), dil)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, m, c)) * 0.3, jnp.float32)
+    span = (k - 1) * dil
+    pad_l, pad_r = span // 2, span - span // 2
+    got = dw_conv1d_pallas(x, w, dil, pad_l, pad_r)
+    want = _lax_dwconv(x, w, dil, (pad_l, pad_r))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dwconv_pallas_grad_matches_jnp(rng):
+    import jax
+
+    from targetdiarization_tpu.ops.dwconv import dw_conv1d
+    from targetdiarization_tpu.ops.pallas.dwconv import dw_conv1d_pallas
+
+    x = jnp.asarray(rng.standard_normal((1, 96, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((5, 1, 128)) * 0.3, jnp.float32)
+
+    def lp(x, w):
+        return jnp.sum(dw_conv1d_pallas(x, w, 1, 2, 2) ** 2)
+
+    def lj(x, w):
+        return jnp.sum(dw_conv1d(x, w, padding=(2, 2)) ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1))(x, w)
+    gj = jax.grad(lj, argnums=(0, 1))(x, w)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
