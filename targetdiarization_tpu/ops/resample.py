@@ -1,14 +1,26 @@
-"""Polyphase resampling as an XLA dilated convolution.
+"""Polyphase resampling as one frames × filterbank matmul (MXU-native).
 
 TPU-native replacement for the reference's librosa/scipy resampling
-(reference AudioProcessor.py:549-569). The rational-rate polyphase
-resampler is expressed as `lax.conv_general_dilated` with
-lhs_dilation=up and window_strides=down, which XLA lowers onto the MXU
-as a strided filter bank — no scalar loops, fixed shapes per
-(up, down, length) so each rate pair compiles exactly once.
+(reference AudioProcessor.py:549-569). Derivation: with a lowpass h of
+length 2·half+1, scipy's upfirdn output is
 
-Semantics match scipy.signal.resample_poly(x, up, down) with a
-Kaiser-windowed lowpass designed on host (cached per rate pair).
+    y[o] = Σ_k x[k] · h[half + o·down − k·up].
+
+Writing o = b·up + p (block b, phase p) and q = k − b·down:
+
+    y[b·up + p] = Σ_q x[b·down + q] · h[half + p·down − q·up]
+                = (X @ W)[b, p]
+
+where X[b, :] is a length-Q frame of x at hop `down` and
+W[qi, p] = h[half + p·down − (q_min+qi)·up] is a dense (Q, up)
+filterbank built once on host. One matmul per resample — the MXU form
+of the polyphase filter. The previous formulation
+(`lax.conv_general_dilated` with lhs_dilation=up, stride=down) lowered
+to a zero-stuffed conv that cost ~107 ms for 8.66 s of 16 k→44.1 k on
+v5e; this one is a (n_blocks, ~180) @ (~180, 441) matmul.
+
+Semantics match scipy.signal.resample_poly(x, up, down) with the same
+Kaiser-windowed lowpass (designed on host, cached per rate pair).
 """
 
 from __future__ import annotations
@@ -38,30 +50,40 @@ def _rates(target_sr: int, source_sr: int) -> tuple[int, int]:
     return int(target_sr) // g, int(source_sr) // g
 
 
+@lru_cache(maxsize=64)
+def _filterbank(up: int, down: int) -> tuple[np.ndarray, int]:
+    """(W, q_min): dense (Q, up) polyphase filterbank for the matmul
+    formulation; W[qi, p] = h[half + p·down − (q_min+qi)·up]."""
+    h = _design_filter(up, down)
+    half = (len(h) - 1) // 2
+    q_min = -(half // up)
+    q_max = (half + (up - 1) * down) // up
+    q = np.arange(q_min, q_max + 1)  # (Q,)
+    p = np.arange(up)  # (up,)
+    idx = half + p[None, :] * down - q[:, None] * up  # (Q, up)
+    valid = (idx >= 0) & (idx < len(h))
+    w = np.where(valid, h[np.clip(idx, 0, len(h) - 1)], 0.0)
+    return w.astype(np.float32), q_min
+
+
 @partial(jax.jit, static_argnames=("up", "down"))
 def _resample_poly_jax(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
-    """resample_poly core: zero-stuff by `up`, filter, take every `down`."""
-    h_np = _design_filter(up, down)
+    """resample_poly core: frame at hop `down`, multiply the filterbank."""
+    from .stft import frame_signal
+
+    w_np, q_min = _filterbank(up, down)
+    q_len = w_np.shape[0]
     n_in = x.shape[-1]
     n_out = -(-n_in * up // down)  # ceil
-    half = (len(h_np) - 1) // 2
-    # Padding chosen so output sample k equals the centered full convolution
-    # of the zero-stuffed signal with h evaluated at half + k*down, exactly
-    # matching scipy.signal.resample_poly / upfirdn trimming.
-    pad_left = half
-    pad_right = max(0, (n_out - 1) * down + half - (n_in - 1) * up)
-    lhs = x.reshape(1, 1, n_in).astype(jnp.float32)
-    rhs = jnp.asarray(h_np[::-1].copy()).reshape(1, 1, -1)
-    y = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(down,),
-        padding=[(pad_left, pad_right)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y[0, 0, :n_out]
+    n_blocks = -(-n_out // up)
+    # xp[i] = x[i + q_min]; right-pad so every block's frame exists
+    need = (n_blocks - 1) * down + q_len
+    pad_r = max(0, need - (n_in - q_min))
+    xp = jnp.pad(x.astype(jnp.float32), (-q_min, pad_r))
+    frames = frame_signal(xp, q_len, down)  # (n_blocks', Q)
+    y = jnp.dot(frames[:n_blocks], jnp.asarray(w_np),
+                precision=jax.lax.Precision.HIGHEST)  # (n_blocks, up)
+    return y.reshape(-1)[:n_out]
 
 
 def resample(audio: jnp.ndarray, target_sr: int, source_sr: int) -> jnp.ndarray:
