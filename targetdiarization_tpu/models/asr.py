@@ -369,7 +369,10 @@ class ASREngine:
             # the model forward run inside a single jitted program (each
             # extra dispatch costs a host-link round trip), and decoding
             # happens ON DEVICE — transferring (U, vocab≈21k) logits over
-            # the host link costs ~20 MB ≈ 450 ms per call.
+            # the host link costs ~20 MB ≈ 450 ms per call. Audio crosses
+            # the link as int16 (half the bytes of f32).
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) / 32768.0
             feats = features.fbank(audio)
             feats = features.lfr(feats, LFR_M, LFR_N)
             if self.cmvn is not None:
@@ -428,8 +431,11 @@ class ASREngine:
                 -(-features.num_frames(len(audios[i]), sr) // LFR_N)
                 for i in idxs
             ]
+            from ..runtime.precision import quantize_i16
+
             out = jax.device_get(self._apply(
-                self._params_c, jnp.asarray(batch), jnp.asarray(ts)))
+                self._params_c, jnp.asarray(quantize_i16(batch)),
+                jnp.asarray(ts)))
             for row, i in enumerate(idxs):
                 results[i] = self._decode_row(out, row, ts[row])
         return results
@@ -487,8 +493,11 @@ class ASREngine:
         padded = pad_to(audio, bucket)[None]
         # ONE bulk transfer for every output (per-item np.asarray costs
         # a separate host-link round trip each)
+        from ..runtime.precision import quantize_i16
+
         out = jax.device_get(
-            self._apply(self._params_c, jnp.asarray(padded), jnp.asarray([t])))
+            self._apply(self._params_c, jnp.asarray(quantize_i16(padded)),
+                        jnp.asarray([t])))
         return [self._decode_row(out, 0, t)]
 
 

@@ -102,6 +102,27 @@ class SegmentationNet(nn.Module):
 _SEG_LADDER = BucketLadder(tuple(int(s * 16000) for s in (1, 2, 4, 8, 16, 30)))
 
 
+def activations_to_diarization(act: np.ndarray, fps: float,
+                               cfg: "BinarizeConfig | None" = None) -> dict:
+    """(T', K) activations → sd_result {slot: [(s, e), ...]} — the
+    host half of SegmentationEngine.diarize, reusable on precomputed
+    activations (fused-frontend path)."""
+    cfg = cfg or BinarizeConfig()
+    vcfg = VADConfig(
+        threshold_on=cfg.onset,
+        threshold_off=cfg.offset,
+        max_end_silence_time=cfg.min_duration_off,
+        min_speech_duration=cfg.min_duration_on,
+        speech_pad=0.0,
+    )
+    result = {}
+    for k in range(act.shape[1]):
+        segs = segment_probs(act[:, k], vcfg, fps=fps)
+        if segs:
+            result[str(k)] = [(round(s, 3), round(e, 3)) for s, e in segs]
+    return result
+
+
 @dataclass
 class BinarizeConfig:
     onset: float = 0.5
@@ -129,6 +150,9 @@ class SegmentationEngine:
         self._params_c = cast_params(params, self.compute_dtype)
 
         def _fwd(p, audio, n_frames):
+            from ..runtime.precision import dequantize_audio
+
+            audio = dequantize_audio(audio)  # int16 upload path
             feats = features.fbank(audio)  # fused into the one dispatch
             (feats_c,) = cast_inputs(self.compute_dtype, feats)
             return f32(self.model.apply(p, feats_c, n_frames))
@@ -167,28 +191,18 @@ class SegmentationEngine:
             return np.zeros((0, self.model.max_speakers), np.float32)
         bucket = _SEG_LADDER.bucket(len(audio))
         padded = pad_to(audio, bucket)[None]
-        act = self._apply(self._params_c, jnp.asarray(padded), jnp.array([t]))
+        from ..runtime.precision import quantize_i16
+
+        act = self._apply(self._params_c, jnp.asarray(quantize_i16(padded)),
+                          jnp.array([t]))
         t_out = max(t // self.model.downsample, 1)
         return np.asarray(act[0, :t_out])
 
     def diarize(self, audio: np.ndarray, sr: int = 16000,
                 cfg: BinarizeConfig | None = None) -> dict:
         """sd_result {slot: [(s,e), ...]} from one window (audio ≤30 s)."""
-        cfg = cfg or BinarizeConfig()
         act = self.activations(audio, sr=sr)
-        vcfg = VADConfig(
-            threshold_on=cfg.onset,
-            threshold_off=cfg.offset,
-            max_end_silence_time=cfg.min_duration_off,
-            min_speech_duration=cfg.min_duration_on,
-            speech_pad=0.0,
-        )
-        result = {}
-        for k in range(act.shape[1]):
-            segs = segment_probs(act[:, k], vcfg, fps=self.fps)
-            if segs:
-                result[str(k)] = [(round(s, 3), round(e, 3)) for s, e in segs]
-        return result
+        return activations_to_diarization(act, self.fps, cfg)
 
     def detect_overlap(self, audio: np.ndarray, sr: int = 16000,
                        min_overlap_sec: float = 0.4) -> dict:
@@ -275,9 +289,16 @@ class ClusterDiarizer:
             return {}
         clips = [audio[int(s * sr): int(e * sr)] for s, e in wins]
         embs = self.spk.embed_batch(clips, sr=sr)
+        return self.diarize_from_windows(wins, embs, n_speakers)
+
+    def diarize_from_windows(self, wins: list, embs: np.ndarray,
+                             n_speakers: int | None = None) -> dict:
+        """Cluster precomputed (window, embedding) pairs → sd_result.
+        Used both by diarize() and by the fused-frontend path, which
+        computes sliding embeddings inside the analyze program."""
         valid = np.linalg.norm(embs, axis=1) > 0
         wins = [w for w, v in zip(wins, valid) if v]
-        embs = embs[valid]
+        embs = np.asarray(embs)[valid]
         if len(embs) == 0:
             return {}
         labels = self._cluster(embs, n_speakers)

@@ -105,12 +105,30 @@ class PunctuationEngine:
         )
         return np.asarray(jnp.argmax(logits[0, :n], axis=-1))
 
-    def punctuation_restore(self, text: str) -> str:
-        """Insert predicted punctuation after each character
-        (reference ASRProcessor.punctuation_restore :880-899)."""
-        if not text:
-            return text
-        classes = self.predict_classes(text)
+    def predict_classes_batch(self, texts: list) -> list:
+        """Per-text punctuation classes with ONE device dispatch (all
+        texts padded to the largest needed token bucket)."""
+        ids_list = [self.tokenizer.encode(t) for t in texts]
+        lens = [len(i) for i in ids_list]
+        out: list = [np.zeros(0, np.int64)] * len(texts)
+        idxs = [i for i, n in enumerate(lens) if n > 0]
+        if not idxs:
+            return out
+        bucket = _TOKEN_LADDER.bucket(max(lens[i] for i in idxs))
+        arr = np.stack([pad_to(np.asarray(ids_list[i], np.int32), bucket)
+                        for i in idxs])
+        mask = np.zeros((len(idxs), bucket), np.float32)
+        for r, i in enumerate(idxs):
+            mask[r, :lens[i]] = 1.0
+        logits = np.asarray(self._apply(
+            self._params_c, jnp.asarray(arr), jnp.asarray(mask)))
+        cls = np.argmax(logits, axis=-1)
+        for r, i in enumerate(idxs):
+            out[i] = cls[r, :lens[i]]
+        return out
+
+    @staticmethod
+    def _apply_classes(text: str, classes: np.ndarray) -> str:
         out = []
         for ch, c in zip(text, classes):
             out.append(ch)
@@ -122,3 +140,16 @@ class PunctuationEngine:
         if restored and restored[-1] not in "。？！.!?":
             restored += "。"
         return restored
+
+    def punctuation_restore(self, text: str) -> str:
+        """Insert predicted punctuation after each character
+        (reference ASRProcessor.punctuation_restore :880-899)."""
+        if not text:
+            return text
+        return self._apply_classes(text, self.predict_classes(text))
+
+    def punctuation_restore_batch(self, texts: list) -> list:
+        """punctuation_restore over many texts in one device dispatch."""
+        classes = self.predict_classes_batch(texts)
+        return [self._apply_classes(t, c) if t else t
+                for t, c in zip(texts, classes)]

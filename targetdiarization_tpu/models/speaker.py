@@ -290,7 +290,11 @@ class SpeakerEngine:
         self._params_c = cast_params(params, self.compute_dtype)
 
         def _embed(params, audio, n_frames):
-            # fbank + per-utterance CMN + forward in ONE dispatch
+            # fbank + per-utterance CMN + forward in ONE dispatch;
+            # audio arrives int16 — half the upload bytes
+            from ..runtime.precision import dequantize_audio
+
+            audio = dequantize_audio(audio)
             feats = features.fbank(audio)  # (B, T, 80)
             t = feats.shape[1]
             fmask = (jnp.arange(t)[None, :] < n_frames[:, None]).astype(
@@ -344,8 +348,11 @@ class SpeakerEngine:
             n_frames = np.array(
                 [features.num_frames(len(clips[i])) for i in idxs])
             with trace(f"speaker/embed_bucket_{bucket}"):
+                from ..runtime.precision import quantize_i16
+
                 emb = np.asarray(self._embed(
-                    self._params_c, jnp.asarray(batch), jnp.asarray(n_frames)))
+                    self._params_c, jnp.asarray(quantize_i16(batch)),
+                    jnp.asarray(n_frames)))
             for j, i in enumerate(idxs):
                 out[i] = emb[j]
         return out

@@ -134,7 +134,11 @@ class VADEngine:
 
         def _probs(params, audio, n_frames):
             # fbank + forward in ONE dispatch (host-link round trips
-            # dominate per-chunk latency through the TPU tunnel)
+            # dominate per-chunk latency through the TPU tunnel);
+            # audio arrives int16 — half the upload bytes
+            from ..runtime.precision import dequantize_audio
+
+            audio = dequantize_audio(audio)
             feats = features.fbank(audio)
             (feats_c,) = cast_inputs(self.compute_dtype, feats)
             logits = self.model.apply(params, feats_c, n_frames)
@@ -173,7 +177,10 @@ class VADEngine:
             return np.zeros(0, np.float32)
         bucket = _SAMPLE_LADDER.bucket(len(audio))
         padded = pad_to(audio, bucket)[None]
-        probs = self._probs(self._params_c, jnp.asarray(padded), jnp.array([t]))
+        from ..runtime.precision import quantize_i16
+
+        probs = self._probs(self._params_c, jnp.asarray(quantize_i16(padded)),
+                            jnp.array([t]))
         return np.asarray(probs[0, :t])
 
     def frame_probs_batch(self, clips: list, sr: int = 16000) -> list:
@@ -192,8 +199,10 @@ class VADEngine:
             return [np.zeros(0, np.float32) for _ in clips]
         bucket = _SAMPLE_LADDER.bucket(max(len(c) for c in clips))
         batch = np.stack([pad_to(c, bucket) for c in clips])
+        from ..runtime.precision import quantize_i16
+
         probs = np.asarray(self._probs(
-            self._params_c, jnp.asarray(batch),
+            self._params_c, jnp.asarray(quantize_i16(batch)),
             jnp.asarray([max(t, 1) for t in ts])))
         return [probs[i, :t] for i, t in enumerate(ts)]
 

@@ -1,0 +1,447 @@
+"""Fused device programs for the offline pipeline's front half.
+
+The round-1 pipeline ran one jitted program per engine per stage —
+preprocess, denoise, VAD, segmentation, enrollment, per-speaker
+embedding — each paying a host-link round trip (~30 ms through the TPU
+tunnel) and np round-tripping the audio between stages. This module
+collapses the front half into TWO programs (VERDICT.md round-1 item 2:
+"fewer, bigger jitted programs", reference call stack
+TargetDiarization.py:98-163):
+
+`FusedFrontend.analyze` — ONE dispatch per inference:
+    int16 audio upload → f32 → BS.1770 loudness normalize → MDX denoise
+    (full in-graph chain incl. the 16k↔44.1k MXU resample) → loudness →
+    shared fbank → FSMN-VAD probabilities + segmentation activations +
+    sliding-window speaker embeddings → int16 audio download.
+The sliding embeddings feed BOTH the cluster diarizer (CAM++ slot) and
+target-speaker scoring on host, replacing the per-segment embedding
+dispatches of `target_embedding_to_target_spk`
+(reference TargetDiarization.py:581-599).
+
+`FusedFrontend.enroll` — ONE dispatch per distinct target file:
+    preprocess chain → VAD probs → trim to [first, last] speech frame
+    (jnp.roll + prefix length, exactly the reference's VAD trim
+    TargetDiarization.py:118-121) → masked-CMN embedding.
+
+All programs are bucketed (static shapes per rung) and transfer audio as
+int16 — half the bytes of f32 through a ~35 MB/s tunnel link.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import features
+from ..runtime.buckets import BucketLadder, pad_to
+from ..runtime.trace import trace
+
+# denser than the per-engine ladders: the fused program runs the MDX
+# U-Net over the whole bucket, so padding waste is pure compute
+_LADDER = BucketLadder(tuple(int(s * 16000) for s in (1, 2, 4, 8, 10, 16, 22, 30)))
+
+_WIN_S = 1.5  # sliding embedding window (DiarizeConfig.window)
+_HOP_S = 0.75
+_WIN_F = int(_WIN_S * 100)  # fbank frames per window
+_HOP_F = int(_HOP_S * 100)
+_MAX_EMBED_FRAMES = 2998  # ≈30 s — reference truncates SV input (TargetASR.py:222)
+
+
+def _masked_loudness_normalize(audio, sr: int, n_valid, target_lufs: float = -23.0):
+    """BS.1770 normalize of the first `n_valid` samples of a padded
+    buffer: gating blocks that straddle or lie past n_valid are excluded
+    so padding cannot bias the measurement."""
+    from ..ops.loudness import k_weight
+    from ..ops.stft import frame_signal
+
+    y = k_weight(audio, sr)
+    t_g = int(0.4 * sr)
+    hop = t_g // 4
+    blocks = frame_signal(y, t_g, hop)  # (n_blocks, t_g)
+    n_blocks = blocks.shape[0]
+    ends = jnp.arange(n_blocks) * hop + t_g
+    bvalid = ends <= n_valid
+    z_blocks = jnp.mean(jnp.square(blocks), axis=-1)
+    l_blocks = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_blocks, 1e-30))
+    abs_mask = (l_blocks > -70.0) & bvalid
+    z_abs = jnp.sum(z_blocks * abs_mask) / jnp.maximum(jnp.sum(abs_mask), 1.0)
+    gamma_r = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) - 10.0
+    rel_mask = abs_mask & (l_blocks > gamma_r)
+    z_rel = jnp.sum(z_blocks * rel_mask) / jnp.maximum(jnp.sum(rel_mask), 1.0)
+    loud = -0.691 + 10.0 * jnp.log10(jnp.maximum(z_rel, 1e-30))
+    gain = jnp.power(10.0, (target_lufs - loud) / 20.0)
+    # too-short / silent input (no gated blocks): leave level unchanged,
+    # mirroring audio_loudness_control's <0.4 s early-out
+    gain = jnp.where(jnp.sum(rel_mask) > 0, gain, 1.0)
+    return audio * gain
+
+
+class FusedFrontend:
+    """Builds and caches the per-bucket fused programs from the live
+    engines (denoiser optional → in-graph spectral-gate fallback,
+    segmentation optional)."""
+
+    def __init__(self, denoiser=None, vad=None, seg=None, spk=None):
+        if vad is None or spk is None:
+            raise ValueError("FusedFrontend needs VAD and speaker engines")
+        self.denoiser = denoiser
+        self.vad = vad
+        self.seg = seg
+        self.spk = spk
+        self._analyze_cache: dict = {}
+        self._enroll_cache: dict = {}
+
+    # ---------------- in-graph pieces ----------------
+
+    def _denoise_graph(self, dn_params, audio, bucket: int):
+        """The full denoise_vocal chain in-graph (models/denoise.py
+        DenoiseEngine semantics; reference AudioProcessor.py:601-710)."""
+        if self.denoiser is None:
+            from ..models.denoise import spectral_gate
+
+            return spectral_gate(audio)
+        from ..models.denoise import N_FFT, mdx_chunk_size, mdx_istft, mdx_stft
+        from ..ops.resample import resample
+        from ..ops.stft import frame_signal
+        from ..runtime.precision import cast_inputs, f32
+
+        eng = self.denoiser
+        hop = eng.hop
+        n44 = -(-bucket * 441 // 160)
+        x44 = resample(audio, 44100, 16000)  # (n44,)
+        stereo = jnp.stack([x44, x44])  # (2, n44)
+        trim = N_FFT // 2
+        cs = mdx_chunk_size(hop)
+        gen = cs - 2 * trim
+        n_chunks = -(-n44 // gen)
+        padded = jnp.pad(stereo, ((0, 0), (trim, n_chunks * gen - n44 + trim)))
+        waves = frame_signal(padded, cs, gen)  # (2, n_chunks, cs)
+        waves = jnp.swapaxes(waves, 0, 1)  # (W, 2, cs)
+        spec = mdx_stft(waves, hop)
+        (spec_c,) = cast_inputs(eng.compute_dtype, spec)
+        pred = f32(eng.model.apply(dn_params, spec_c))
+        wav = mdx_istft(pred, hop)  # (W, 2, cs)
+        inner = wav[:, :, trim:-trim]  # (W, 2, gen)
+        out44 = jnp.swapaxes(inner, 0, 1).reshape(2, -1)[:, :n44]
+        vocals = jnp.clip(stereo - out44, -1.0, 1.0) if eng.is_inst_model \
+            else jnp.clip(out44, -1.0, 1.0)
+        mono = jnp.mean(vocals, axis=0)
+        out = resample(mono, 16000, 44100)
+        return out[:bucket]
+
+    def _preprocess_graph(self, dn_params, audio_i16, n_valid, bucket: int):
+        """→ (audio_f32, audio_i16): the downloaded int16 track and the
+        f32 the rest of the graph consumes are the SAME samples (the
+        graph re-quantizes before feature extraction), so host-side
+        engines re-running on the downloaded audio reproduce the fused
+        outputs bit-for-bit."""
+        valid = (jnp.arange(bucket) < n_valid).astype(jnp.float32)
+        audio = audio_i16.astype(jnp.float32) / 32768.0 * valid
+        audio = _masked_loudness_normalize(audio, 16000, n_valid)
+        audio = self._denoise_graph(dn_params, audio, bucket) * valid
+        audio = _masked_loudness_normalize(audio, 16000, n_valid)
+        out_i16 = jnp.clip(jnp.round(audio * 32768.0), -32768, 32767
+                           ).astype(jnp.int16)
+        return out_i16.astype(jnp.float32) / 32768.0, out_i16
+
+    @staticmethod
+    def _n_frames(n_valid):
+        frame, hop = 400, 160
+        return jnp.where(n_valid < frame, 0, 1 + (n_valid - frame) // hop)
+
+    # ---------------- analyze ----------------
+
+    def _build_analyze(self, bucket: int):
+        from ..runtime.precision import cast_inputs, f32
+
+        t_total = features.num_frames(bucket)
+        n_win = 1 + (t_total - _WIN_F) // _HOP_F if t_total >= _WIN_F else 0
+        vad_eng, seg_eng, spk_eng = self.vad, self.seg, self.spk
+
+        def fn(dn_p, vad_p, seg_p, spk_p, audio_i16, n_valid):
+            audio, out_i16 = self._preprocess_graph(
+                dn_p, audio_i16, n_valid, bucket)
+            nf = self._n_frames(n_valid)
+            feats = features.fbank(audio[None])  # (1, T, 80)
+            out = {"audio_i16": out_i16}
+            (feats_v,) = cast_inputs(vad_eng.compute_dtype, feats)
+            logits = vad_eng.model.apply(vad_p, feats_v, nf[None])
+            out["vad_probs"] = f32(jax.nn.softmax(logits, axis=-1)[0, :, 1])
+            if seg_eng is not None:
+                (feats_s,) = cast_inputs(seg_eng.compute_dtype, feats)
+                out["seg_act"] = f32(
+                    seg_eng.model.apply(seg_p, feats_s, nf[None])[0])
+            if n_win > 0:
+                ft = jnp.swapaxes(feats[0], 0, 1)  # (80, T)
+                from ..ops.stft import frame_signal
+
+                wins = frame_signal(ft, _WIN_F, _HOP_F)  # (80, n_win, WIN_F)
+                wins = jnp.transpose(wins, (1, 2, 0))  # (n_win, WIN_F, 80)
+                mean = jnp.mean(wins, axis=1, keepdims=True)
+                wins = wins - mean
+                (wins_c,) = cast_inputs(spk_eng.compute_dtype, wins)
+                out["win_embs"] = f32(spk_eng.model.apply(
+                    spk_p, wins_c, jnp.full((n_win,), _WIN_F), train=False))
+            return out
+
+        return jax.jit(fn)
+
+    def analyze(self, audio: np.ndarray, sr: int = 16000) -> dict:
+        """One fused dispatch; returns host-side dict:
+        audio (denoised f32), vad_probs (T,), seg_act (T', K) | None,
+        win_embs (n_win, 192) | None, win_times [(s, e), ...]."""
+        audio = np.asarray(audio, np.float32).ravel()
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            audio = resample_poly_np(audio, 16000, sr)
+            sr = 16000
+        top = _LADDER.rungs[-1]
+        if len(audio) > top:
+            # window at the top rung and concatenate the tracks
+            parts = [self.analyze(audio[i: i + top], sr)
+                     for i in range(0, len(audio), top)]
+            out = {
+                "audio": np.concatenate([p["audio"] for p in parts]),
+                "audio_dev_i16": None,  # spans multiple device buffers
+                "n_samples": len(audio),
+                "vad_probs": np.concatenate([p["vad_probs"] for p in parts]),
+            }
+            if parts[0].get("seg_act") is not None:
+                out["seg_act"] = np.concatenate(
+                    [p["seg_act"] for p in parts], axis=0)
+            embs, times = [], []
+            for i, p in enumerate(parts):
+                off = i * top / 16000.0
+                if p.get("win_embs") is not None:
+                    embs.append(p["win_embs"])
+                    times.extend([(s + off, e + off) for s, e in p["win_times"]])
+            out["win_embs"] = np.concatenate(embs, axis=0) if embs else None
+            out["win_times"] = times
+            return out
+
+        n = len(audio)
+        bucket = _LADDER.bucket(max(n, 1))
+        if bucket not in self._analyze_cache:
+            self._analyze_cache[bucket] = self._build_analyze(bucket)
+        fn = self._analyze_cache[bucket]
+        a_i16 = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+        dn_p = self.denoiser._params_c if self.denoiser is not None else None
+        seg_p = self.seg._params_c if self.seg is not None else None
+        with trace("fused/analyze"):
+            dev = fn(dn_p, self.vad._params_c, seg_p, self.spk._params_c,
+                     jnp.asarray(pad_to(a_i16, bucket)), jnp.asarray(n))
+            host = jax.device_get(dev)  # ONE bulk transfer
+
+        t = features.num_frames(n)
+        out = {
+            "audio": host["audio_i16"][:n].astype(np.float32) / 32768.0,
+            # the device-resident int16 buffer, kept for the fused ASR
+            # program (masked tracks built in-graph — no re-upload)
+            "audio_dev_i16": dev["audio_i16"],
+            "n_samples": n,
+            "vad_probs": host["vad_probs"][:t],
+            "seg_act": None,
+            "win_embs": None,
+            "win_times": [],
+        }
+        if "seg_act" in host:
+            ds = self.seg.model.downsample
+            out["seg_act"] = host["seg_act"][: max(t // ds, 1)]
+        if "win_embs" in host:
+            # keep only windows fully inside the valid frame range
+            n_valid_win = sum(
+                1 for i in range(host["win_embs"].shape[0])
+                if i * _HOP_F + _WIN_F <= max(t, 0)
+            )
+            out["win_embs"] = host["win_embs"][:n_valid_win]
+            out["win_times"] = [
+                (i * _HOP_S, i * _HOP_S + _WIN_S) for i in range(n_valid_win)
+            ]
+        return out
+
+    # ---------------- enroll ----------------
+
+    def _build_enroll(self, bucket: int):
+        from ..runtime.precision import cast_inputs, f32
+
+        vad_eng, spk_eng = self.vad, self.spk
+
+        def fn(dn_p, vad_p, spk_p, audio_i16, n_valid):
+            audio, out_i16 = self._preprocess_graph(
+                dn_p, audio_i16, n_valid, bucket)
+            nf = self._n_frames(n_valid)
+            feats = features.fbank(audio[None])  # (1, T, 80)
+            t = feats.shape[1]
+            fvalid = jnp.arange(t) < nf
+            (feats_v,) = cast_inputs(vad_eng.compute_dtype, feats)
+            logits = vad_eng.model.apply(vad_p, feats_v, nf[None])
+            probs = f32(jax.nn.softmax(logits, axis=-1)[0, :, 1])
+            speech = (probs > 0.5) & fvalid
+            # trim to [first, last] speech frame — roll the span to the
+            # front so the model's prefix mask covers exactly those
+            # frames (reference trim, TargetDiarization.py:118-121)
+            idx = jnp.arange(t)
+            first = jnp.min(jnp.where(speech, idx, t))
+            last = jnp.max(jnp.where(speech, idx, -1))
+            n_in = jnp.clip(last - first + 1, 0, _MAX_EMBED_FRAMES)
+            rolled = jnp.roll(feats[0], -first, axis=0)[None]  # (1, T, 80)
+            pmask = (idx < n_in).astype(jnp.float32)[None, :, None]
+            mean = jnp.sum(rolled * pmask, axis=1, keepdims=True) / jnp.maximum(
+                jnp.sum(pmask, axis=1, keepdims=True), 1.0)
+            rolled = (rolled - mean) * pmask
+            (rolled_c,) = cast_inputs(spk_eng.compute_dtype, rolled)
+            emb = f32(spk_eng.model.apply(spk_p, rolled_c, n_in[None],
+                                          train=False))[0]
+            return {"emb": emb, "vad_probs": probs, "audio_i16": out_i16}
+
+        return jax.jit(fn)
+
+    def enroll(self, audio: np.ndarray, sr: int = 16000) -> dict:
+        """One fused dispatch: {'emb': (192,), 'vad_probs': (T,),
+        'audio': denoised f32} for a target-enrollment clip."""
+        audio = np.asarray(audio, np.float32).ravel()
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            audio = resample_poly_np(audio, 16000, sr)
+        top = _LADDER.rungs[-1]
+        if len(audio) > top:
+            audio = audio[:top]  # enrollment >30 s truncates like the SV input
+        n = len(audio)
+        bucket = _LADDER.bucket(max(n, 1))
+        if bucket not in self._enroll_cache:
+            self._enroll_cache[bucket] = self._build_enroll(bucket)
+        fn = self._enroll_cache[bucket]
+        a_i16 = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+        dn_p = self.denoiser._params_c if self.denoiser is not None else None
+        with trace("fused/enroll"):
+            host = jax.device_get(fn(
+                dn_p, self.vad._params_c, self.spk._params_c,
+                jnp.asarray(pad_to(a_i16, bucket)), jnp.asarray(n)))
+        t = features.num_frames(n)
+        return {
+            "emb": host["emb"],
+            "vad_probs": host["vad_probs"][:t],
+            "audio": host["audio_i16"][:n].astype(np.float32) / 32768.0,
+        }
+
+
+class FusedASR:
+    """Masked multi-speaker ASR (+ in-graph punctuation) on the
+    device-resident analyze audio.
+
+    The pipeline's ASR step transcribes one silence-padded combined
+    track per speaker (reference TargetDiarization.py:716-820). Those
+    tracks are pure interval masks of the already-on-device denoised
+    audio, so instead of assembling them on host and re-uploading
+    ~n_spk × audio bytes, this program takes the analyze program's int16
+    output buffer plus an (n_spk, max_segs, 2) sample-range tensor,
+    builds the masked tracks in-graph, runs Paraformer, and (when the
+    punctuation engine shares the ASR tokenizer) punctuates the argmax
+    ids in the same program — one dispatch, ~KBs transferred."""
+
+    N_SPK_LADDER = BucketLadder((1, 2, 4, 8))
+    SEG_LADDER = BucketLadder((2, 4, 8, 16, 32))
+
+    def __init__(self, asr_engine, punc_engine=None):
+        self.asr = asr_engine
+        self.punc = None
+        if punc_engine is not None and \
+                punc_engine.tokenizer.vocab == asr_engine.tokenizer.vocab:
+            self.punc = punc_engine
+        self._cache: dict = {}
+
+    def _build(self, bucket: int, n_spk: int, max_segs: int):
+        from ..models.asr import LFR_M, LFR_N
+        from ..runtime.precision import cast_inputs, f32
+
+        asr = self.asr
+        punc = self.punc
+
+        def fn(asr_p, punc_p, audio_i16, ranges, n_lfr):
+            # ranges: (n_spk, max_segs, 2) float32 sample indices
+            audio = audio_i16.astype(jnp.float32) / 32768.0  # (bucket,)
+            t_idx = jnp.arange(bucket, dtype=jnp.float32)[None, None, :]
+            seg_m = (t_idx >= ranges[..., :1]) & (t_idx < ranges[..., 1:2])
+            tracks = audio[None, :] * jnp.any(seg_m, axis=1)  # (n_spk, T)
+            feats = features.fbank(tracks)
+            feats = features.lfr(feats, LFR_M, LFR_N)
+            if asr.cmvn is not None:
+                feats = features.apply_cmvn(
+                    feats, jnp.asarray(asr.cmvn[0]), jnp.asarray(asr.cmvn[1]))
+            t = feats.shape[1]
+            mask = (jnp.arange(t)[None, :] < n_lfr[:, None]).astype(jnp.float32)
+            feats_c, mask_c = cast_inputs(asr.compute_dtype, feats, mask)
+            out = asr.model.apply(asr_p, feats_c, mask_c)
+            ids = jnp.argmax(out["logits"], axis=-1)  # (n_spk, U)
+            res = {"ids": ids, "n_tokens": out["n_tokens"],
+                   "fire_frames": out["fire_frames"]}
+            if punc is not None:
+                u = ids.shape[1]
+                tok_mask = (jnp.arange(u)[None, :]
+                            < out["n_tokens"][:, None]).astype(jnp.float32)
+                (tok_mask_c,) = cast_inputs(punc.compute_dtype, tok_mask)
+                plogits = f32(punc.model.apply(punc_p, ids, tok_mask_c))
+                res["punc_cls"] = jnp.argmax(plogits, axis=-1)  # (n_spk, U)
+            return res
+
+        return jax.jit(fn)
+
+    def transcribe_masked(self, audio_dev_i16, n_samples: int,
+                          spk_ranges: list) -> list:
+        """spk_ranges: per speaker a list of (start_s, end_s) intervals.
+        Returns per speaker {'text', 'timestamp', 'punc_cls'} (the ASR
+        result contract plus per-char punctuation classes)."""
+        from ..models.asr import LFR_N, fire_frames_to_timestamps
+
+        bucket = int(audio_dev_i16.shape[-1])
+        b = self.N_SPK_LADDER.bucket(max(len(spk_ranges), 1))
+        max_segs = self.SEG_LADDER.bucket(
+            max(max((len(r) for r in spk_ranges), default=1), 1))
+        key = (bucket, b, max_segs)
+        if key not in self._cache:
+            self._cache[key] = self._build(bucket, b, max_segs)
+        fn = self._cache[key]
+
+        ranges = np.zeros((b, max_segs, 2), np.float32)
+        n_lfr = np.ones(b, np.int32)
+        for i, segs in enumerate(spk_ranges):
+            end_max = 0.0
+            for j, (s, e) in enumerate(segs[:max_segs]):
+                ranges[i, j] = (s * 16000.0, e * 16000.0)
+                end_max = max(end_max, e)
+            n_valid = min(int(end_max * 16000), n_samples)
+            n_lfr[i] = max(-(-features.num_frames(n_valid) // LFR_N), 1)
+        punc_p = self.punc._params_c if self.punc is not None else None
+        with trace("fused/asr"):
+            host = jax.device_get(fn(
+                self.asr._params_c, punc_p, audio_dev_i16,
+                jnp.asarray(ranges), jnp.asarray(n_lfr)))
+
+        results = []
+        tok = self.asr.tokenizer
+        for i in range(len(spk_ranges)):
+            n_tok = int(host["n_tokens"][i])
+            ids = host["ids"][i, :n_tok]
+            fire = host["fire_frames"][i, :n_tok]
+            ts_all = fire_frames_to_timestamps(fire, int(n_lfr[i]))
+            chars, ts, pcls = [], [], []
+            for j, tid in enumerate(ids):
+                name = tok.vocab[int(tid)]
+                if name in ("<blank>", "<s>", "</s>"):
+                    continue
+                chars.append(name if name != "<unk>" else "")
+                if j < len(ts_all):
+                    ts.append(ts_all[j])
+                if "punc_cls" in host:
+                    pcls.append(int(host["punc_cls"][i, j]))
+            results.append({
+                "text": "".join(chars),
+                "timestamp": ts,
+                "punc_cls": pcls if "punc_cls" in host else None,
+            })
+        return results

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import io
 import math
+import os
 from typing import Union
 
 import numpy as np
@@ -63,6 +64,34 @@ class TargetDiarization:
             )
         self.sd_pipeline = cluster_diarizer  # CAM++ slot
         self.od_pipeline = segmentation_engine  # pyannote slot (may be None)
+
+        # fused frontend: ONE device program for preprocess → denoise →
+        # VAD → segmentation → sliding embeddings (pipeline/fused.py);
+        # falls back to the per-engine path when engines are missing
+        self.fused = None
+        self.fused_asr = None
+        try:
+            from .fused import FusedFrontend
+
+            self.fused = FusedFrontend(
+                denoiser=self.ap.denoiser,
+                vad=self.tasr.asrp.vad,
+                seg=self.od_pipeline,
+                spk=self.tasr.spk,
+            )
+        except Exception as e:
+            self._log(f"fused frontend unavailable: {e}")
+        try:
+            from ..models.asr import ASREngine
+            from .fused import FusedASR
+
+            if (isinstance(self.tasr.asrp.asr, ASREngine)
+                    and self.tasr.asrp.asr.engine == "paraformer"):
+                self.fused_asr = FusedASR(self.tasr.asrp.asr,
+                                          self.tasr.asrp.punc)
+        except Exception as e:
+            self._log(f"fused ASR unavailable: {e}")
+        self._enroll_cache: dict = {}
 
     def _log(self, *args):
         if self.verbose_log:
@@ -139,9 +168,11 @@ class TargetDiarization:
 
     def sd_result_to_target_embedding(self, audio_data, sampling_rate=16000,
                                       sd_result=None, overlap_map=None,
-                                      target_spk: str = ""):
+                                      target_spk: str = "", fr=None):
         """Pick target speaker (longest total duration) and build its
-        embedding from non-overlap clips (reference :551-578)."""
+        embedding from non-overlap clips (reference :551-578). With a
+        fused-frontend result, the embedding is the mean of that
+        speaker's precomputed sliding-window embeddings — no dispatch."""
         sd_result = sd_result or {}
         if not sd_result:
             return "", self.tasr.get_target_embedding(audio_data)
@@ -150,10 +181,14 @@ class TargetDiarization:
                 sd_result, key=lambda s: iv.total_duration(sd_result[s])
             ) if len(sd_result) > 1 else list(sd_result)[0]
         work = iv.subtract_overlap(sd_result, overlap_map) if overlap_map else sd_result
+        ranges = [(s, e) for s, e in work.get(target_spk, []) if (e - s) >= 0.4]
+        if fr is not None and fr.get("win_embs") is not None and ranges:
+            embs = self._window_embs_in_ranges(fr, ranges)
+            if len(embs):
+                return target_spk, np.mean(embs, axis=0)
         clips = [
             self.ap.split_audio_by_time(audio_data, sampling_rate, s, e)
-            for s, e in work.get(target_spk, [])
-            if (e - s) >= 0.4
+            for s, e in ranges
         ]
         if clips:
             target_audio = np.concatenate(clips, axis=0)
@@ -162,17 +197,42 @@ class TargetDiarization:
             emb = self.tasr.get_target_embedding(audio_data)
         return target_spk, emb
 
+    @staticmethod
+    def _window_embs_in_ranges(fr, ranges) -> np.ndarray:
+        """Fused sliding-window embeddings whose midpoint falls inside
+        any of `ranges` (and are non-degenerate)."""
+        out = []
+        for (s, e), emb in zip(fr["win_times"], fr["win_embs"]):
+            mid = (s + e) / 2.0
+            if np.linalg.norm(emb) == 0:
+                continue
+            if any(rs <= mid <= re for rs, re in ranges):
+                out.append(emb)
+        return np.asarray(out) if out else np.zeros((0, 192), np.float32)
+
     def target_embedding_to_target_spk(self, target_embedding, audio_data,
                                        sampling_rate=16000, sd_result=None,
-                                       overlap_map=None) -> str:
+                                       overlap_map=None, fr=None) -> str:
         """Score every speaker's clips vs the enrollment; best average
-        wins (reference :581-599) — clips embedded in one batch."""
+        wins (reference :581-599). With a fused-frontend result the
+        scores come from the precomputed sliding-window embeddings
+        (zero dispatches); otherwise clips are embedded in one batch."""
         sd_result = sd_result or {}
         if not sd_result:
             return ""
         work = iv.subtract_overlap(sd_result, overlap_map or [])
         score_map = []
+        pending = []  # speakers with no window hit → batched clip fallback
         for spk, ranges in work.items():
+            if fr is not None and fr.get("win_embs") is not None:
+                embs = self._window_embs_in_ranges(fr, ranges)
+                if len(embs):
+                    scores = [self.tasr.cosine_similarity(target_embedding, e)
+                              for e in embs]
+                    score_map.append([spk, sum(scores) / len(scores)])
+                    continue
+            pending.append((spk, ranges))
+        for spk, ranges in pending:
             clips = [
                 self.ap.split_audio_by_time(audio_data, sampling_rate, s, e)
                 for s, e in ranges
@@ -232,11 +292,14 @@ class TargetDiarization:
 
     def sd_result_to_asr_audio(self, audio_data, sampling_rate=16000,
                                sd_result=None, overlap_map=None,
-                               target_spk: str = "", target_embedding=None
-                               ) -> list:
+                               target_spk: str = "", target_embedding=None,
+                               fr=None) -> list:
         """Slice per-speaker clips (separating overlaps), then run ONE
         combined ASR per speaker on a silence-padded timeline and slice
-        its char timestamps back onto each clip (reference :716-820)."""
+        its char timestamps back onto each clip (reference :716-820).
+        When every clip is an unmodified slice of the fused-frontend
+        audio, ASR+punctuation run as ONE masked device program on the
+        resident buffer (FusedASR) — no track re-upload."""
         sd_result = sd_result or {}
         overlap_map = overlap_map or []
         asr_result: list = []
@@ -291,7 +354,7 @@ class TargetDiarization:
                            round(s + sep[0]["timerange"][1], 3)]
                 asr_result.append({
                     "speaker": spk, "timerange": t_range, "text": "",
-                    "type": "overlap", "audio": t_audio,
+                    "type": "overlap", "audio": t_audio, "_sep": True,
                 })
                 if noise_spks and len(sep) > 1:
                     n_range = [round(s + sep[1]["timerange"][0], 3),
@@ -299,7 +362,7 @@ class TargetDiarization:
                     asr_result.append({
                         "speaker": noise_spks[0], "timerange": n_range,
                         "text": "", "type": "overlap",
-                        "audio": sep[1]["audio"],
+                        "audio": sep[1]["audio"], "_sep": True,
                     })
 
         if not asr_result:
@@ -313,36 +376,98 @@ class TargetDiarization:
             for spk in speakers
         }
         speakers = [s for s in speakers if combined_map[s] is not None]
-        # ONE batched ASR dispatch for all speakers' combined tracks
-        asr_results = self.tasr.asrp.asr_detection_batch(
-            [combined_map[s] for s in speakers], sampling_rate, no_punc=True)
+
+        asr_results = None
+        punc_in_graph = False
+        if (self.fused_asr is not None and fr is not None
+                and fr.get("audio_dev_i16") is not None
+                and not any(item.get("_sep") for item in asr_result)
+                and len(speakers) <= 8):
+            spk_ranges = [
+                [item["timerange"] for item in asr_result
+                 if item["speaker"] == spk]
+                for spk in speakers
+            ]
+            if all(len(r) <= 32 for r in spk_ranges):
+                try:
+                    asr_results = self.fused_asr.transcribe_masked(
+                        fr["audio_dev_i16"], fr["n_samples"], spk_ranges)
+                    punc_in_graph = all(
+                        r.get("punc_cls") is not None for r in asr_results)
+                except Exception as e:
+                    print(f"fused ASR failed, batched fallback: {e}")
+                    asr_results = None
+        if asr_results is None:
+            # ONE batched ASR dispatch for all speakers' combined tracks
+            asr_results = self.tasr.asrp.asr_detection_batch(
+                [combined_map[s] for s in speakers], sampling_rate,
+                no_punc=True)
+
+        from ..models.punctuation import PUNC_LIST
+
         for spk, asr in zip(speakers, asr_results):
             combined = combined_map[spk]
             timestamps = asr.get("timestamp") or []
             if not timestamps:
-                text = self.tasr.asrp.punctuation_restore(asr["text"].strip())
-                new_result.append({
+                entry = {
                     "speaker": spk,
                     "timerange": [asr_result[0]["timerange"][0],
                                   asr_result[-1]["timerange"][1]],
-                    "text": text, "type": "single", "audio": combined,
-                })
+                    "text": asr["text"].strip(), "type": "single",
+                    "audio": combined,
+                }
+                if punc_in_graph and asr.get("punc_cls"):
+                    entry["_chars"] = list(asr["text"])
+                    entry["_cls"] = asr["punc_cls"]
+                    entry["_joiner"] = ""
+                new_result.append(entry)
                 continue
             lang = asr.get("language") or self.tasr.asrp.detect_language(asr["text"])
             chars = list(asr["text"])
+            pcls = asr.get("punc_cls") if punc_in_graph else None
+            joiner = "" if lang in ("zh", "ja", "ko", "yue") else " "
             for item in asr_result:
                 if item["speaker"] != spk:
                     continue
                 lo = math.floor(item["timerange"][0] * 10) / 10 * 1000
                 hi = math.ceil(item["timerange"][1] * 10) / 10 * 1000
-                picked = [
-                    chars[i] for i, (ts, te) in enumerate(timestamps)
+                idxs = [
+                    i for i, (ts, te) in enumerate(timestamps)
                     if i < len(chars) and lo <= ts <= hi
                 ]
-                joiner = "" if lang in ("zh", "ja", "ko", "yue") else " "
-                text = joiner.join(picked).strip()
-                item["text"] = self.tasr.asrp.punctuation_restore(text)
+                item["text"] = joiner.join(chars[i] for i in idxs).strip()
+                if pcls is not None:
+                    item["_chars"] = [chars[i] for i in idxs]
+                    item["_cls"] = [pcls[i] if i < len(pcls) else 0
+                                    for i in idxs]
+                    item["_joiner"] = joiner
                 new_result.append(item)
+
+        if punc_in_graph:
+            # classes came from the fused program; apply per token so
+            # non-CJK word joiners can't shift the alignment
+            for item in new_result:
+                chars = item.pop("_chars", None)
+                cls = item.pop("_cls", None)
+                joiner = item.pop("_joiner", "")
+                if not item["text"] or not chars:
+                    continue
+                units = [ch + PUNC_LIST[int(c)] for ch, c in zip(chars, cls)]
+                text = joiner.join(units).strip()
+                if text and text[-1] not in "。？！.!?":
+                    text += "。"
+                item["text"] = text
+        else:
+            # ONE punctuation dispatch for all segments (was one per segment)
+            restored = self.tasr.asrp.punctuation_restore_batch(
+                [item["text"] for item in new_result])
+            for item, text in zip(new_result, restored):
+                item["text"] = text
+        for item in new_result:
+            item.pop("_sep", None)
+            item.pop("_chars", None)
+            item.pop("_cls", None)
+            item.pop("_joiner", None)
         new_result.sort(key=lambda x: x["timerange"][0])
         return new_result
 
@@ -410,33 +535,35 @@ class TargetDiarization:
               target_file: Union[str, np.ndarray, io.BytesIO, None] = None,
               sampling_rate: int = 16000, is_single: bool = False,
               output_target_audio: bool = True):
-        """Full offline inference (reference TargetDiarization.py:98-163)."""
+        """Full offline inference (reference TargetDiarization.py:98-163).
+
+        With the fused frontend available, the front half runs as ONE
+        device program (preprocess+denoise+VAD+segmentation+sliding
+        embeddings) plus one cached program per distinct target file —
+        the per-engine fallback path below is behavior-equivalent."""
         if isinstance(wav_file, (str, io.BytesIO)):
             audio_data, sampling_rate = self.ap.read_audio(wav_file)
         else:
             audio_data = np.asarray(wav_file)
-        with trace("infer/preprocess"):
-            audio_data, sampling_rate = self.audio_preprocess(audio_data, sampling_rate)
+        fr = None
+        if self.fused is not None:
+            with trace("infer/preprocess"):
+                try:
+                    mono = self.ap.audio_to_mono(audio_data)
+                    fr = self.fused.analyze(mono, sr=sampling_rate)
+                    audio_data, sampling_rate = fr["audio"], 16000
+                except Exception as e:
+                    print(f"fused analyze failed, per-engine fallback: {e}")
+                    fr = None
+        if fr is None:
+            with trace("infer/preprocess"):
+                audio_data, sampling_rate = self.audio_preprocess(
+                    audio_data, sampling_rate)
 
         target_embedding = None
         if target_file is not None:
-          with trace("infer/target_enroll"):
-            if isinstance(target_file, (str, io.BytesIO)):
-                t_audio, t_sr = self.ap.read_audio(target_file)
-            else:
-                t_audio, t_sr = np.asarray(target_file), sampling_rate
-            t_audio, t_sr = self.audio_preprocess(t_audio, t_sr)
-            t_vad = self.tasr.asrp.vad_detection(t_audio, t_sr)
-            if t_vad:
-                start, end = t_vad[0][0], t_vad[-1][1]
-                if end - start < 4.0:
-                    print("WARNING: The valid speaking duration of target "
-                          "audio is less than 4s. This may cause a bad result.")
-                t_audio = self.ap.split_audio_by_time(t_audio, t_sr, start, end)
-                target_embedding = self.tasr.get_speaker_embedding(t_audio, t_sr)
-            else:
-                print("ERROR: No VAD result in target audio. Automatically "
-                      "select one speaker from the input audio as the target.")
+            with trace("infer/target_enroll"):
+                target_embedding = self._enroll_target(target_file, sampling_rate)
 
         duration = len(audio_data) / sampling_rate
         sd_result = None
@@ -444,14 +571,15 @@ class TargetDiarization:
         if duration >= self.long_audio_threshold or self.od_pipeline is None:
             try:
                 with trace("infer/diarize_cluster"):
-                    raw = {"text": self._cluster_segments(audio_data, sampling_rate)}
+                    raw = {"text": self._cluster_segments(
+                        audio_data, sampling_rate, fr=fr)}
                 sd_result = self.sd_result_parser(raw, is_single=is_single)
             except Exception as e:
                 sd_result = None
                 print(e)
         if not sd_result and self.od_pipeline is not None:
             with trace("infer/diarize_segmentation"):
-                seg_sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+                seg_sd = self._segmentation_sd(audio_data, sampling_rate, fr)
             if is_single:
                 merged = []
                 for ranges in seg_sd.values():
@@ -468,7 +596,7 @@ class TargetDiarization:
             od_result = {}
             if self.od_pipeline is not None:
                 if seg_sd is None:
-                    seg_sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+                    seg_sd = self._segmentation_sd(audio_data, sampling_rate, fr)
                 od_result = self.od_result_parser(seg_sd, sd_result=sd_result)
             self._log("od_result:", od_result)
             sd_result, overlap_map = iv.apply_od_result(sd_result, od_result)
@@ -477,16 +605,16 @@ class TargetDiarization:
                 if target_embedding is not None:
                     target_spk = self.target_embedding_to_target_spk(
                         target_embedding, audio_data, sampling_rate, sd_result,
-                        overlap_map)
+                        overlap_map, fr=fr)
                 else:
                     target_spk, target_embedding = self.sd_result_to_target_embedding(
-                        audio_data, sampling_rate, sd_result, overlap_map)
+                        audio_data, sampling_rate, sd_result, overlap_map, fr=fr)
             self._log("target_spk:", target_spk)
 
         with trace("infer/asr_assembly"):
             asr_result = self.sd_result_to_asr_audio(
                 audio_data, sampling_rate, sd_result, overlap_map, target_spk,
-                target_embedding)
+                target_embedding, fr=fr)
         with trace("infer/recheck"):
             asr_result = self.recheck_target_speaker(asr_result, target_spk,
                                                      target_embedding)
@@ -494,8 +622,15 @@ class TargetDiarization:
             asr_result, target_spk, output_target_audio)
         return target_spk, asr_result, target_audio
 
-    def _cluster_segments(self, audio_data, sampling_rate) -> list:
-        sd = self.sd_pipeline.diarize(audio_data, sr=sampling_rate)
+    def _cluster_segments(self, audio_data, sampling_rate, fr=None) -> list:
+        sd = None
+        if (fr is not None and fr.get("win_embs") is not None
+                and hasattr(self.sd_pipeline, "diarize_from_windows")):
+            wins, embs = self._speech_windows(fr)
+            if wins:
+                sd = self.sd_pipeline.diarize_from_windows(wins, embs)
+        if sd is None:
+            sd = self.sd_pipeline.diarize(audio_data, sr=sampling_rate)
         segments = []
         for spk, ranges in sd.items():
             for s, e in ranges:
@@ -504,3 +639,101 @@ class TargetDiarization:
         if not segments:
             raise RuntimeError("cluster diarizer produced no segments")
         return segments
+
+    def _segmentation_sd(self, audio_data, sampling_rate, fr=None) -> dict:
+        """pyannote-slot diarization, reusing fused activations when
+        available (zero extra dispatches)."""
+        if fr is not None and fr.get("seg_act") is not None:
+            from ..models.diarization import activations_to_diarization
+
+            return activations_to_diarization(
+                fr["seg_act"], self.od_pipeline.fps)
+        return self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+
+    def _speech_windows(self, fr):
+        """Fused sliding windows restricted to speech: keep windows whose
+        overlap with VAD speech is ≥ the diarizer's min_window (mirrors
+        ClusterDiarizer windowing within VAD segments)."""
+        from ..models.vad import VADConfig, segment_probs
+
+        speech = segment_probs(np.asarray(fr["vad_probs"]), VADConfig())
+        min_cov = getattr(getattr(self.sd_pipeline, "cfg", None),
+                          "min_window", 0.5)
+        wins, embs = [], []
+        for (s, e), emb in zip(fr["win_times"], fr["win_embs"]):
+            cov = sum(max(0.0, min(e, se) - max(s, ss)) for ss, se in speech)
+            if cov >= min_cov and np.linalg.norm(emb) > 0:
+                wins.append((s, e))
+                embs.append(emb)
+        return wins, np.asarray(embs) if embs else np.zeros((0, 192), np.float32)
+
+    def _enroll_target(self, target_file, sampling_rate: int):
+        """Target enrollment with a content-keyed cache (same enrolled
+        speaker across calls ⇒ zero dispatches) and the fused one-dispatch
+        program when available."""
+        key = self._enroll_key(target_file)
+        if key is not None and key in self._enroll_cache:
+            return self._enroll_cache[key]
+        if isinstance(target_file, (str, io.BytesIO)):
+            t_audio, t_sr = self.ap.read_audio(target_file)
+        else:
+            t_audio, t_sr = np.asarray(target_file), sampling_rate
+        target_embedding = None
+        if self.fused is not None:
+            try:
+                from ..models.vad import VADConfig, segment_probs
+
+                er = self.fused.enroll(self.ap.audio_to_mono(t_audio), sr=t_sr)
+                t_vad = segment_probs(er["vad_probs"], VADConfig())
+                if t_vad:
+                    if t_vad[-1][1] - t_vad[0][0] < 4.0:
+                        print("WARNING: The valid speaking duration of target "
+                              "audio is less than 4s. This may cause a bad result.")
+                    target_embedding = er["emb"]
+                else:
+                    print("ERROR: No VAD result in target audio. Automatically "
+                          "select one speaker from the input audio as the target.")
+                if key is not None:
+                    self._enroll_cache[key] = target_embedding
+                    if len(self._enroll_cache) > 32:
+                        self._enroll_cache.pop(next(iter(self._enroll_cache)))
+                return target_embedding
+            except Exception as e:
+                print(f"fused enroll failed, per-engine fallback: {e}")
+        t_audio, t_sr = self.audio_preprocess(t_audio, t_sr)
+        t_vad = self.tasr.asrp.vad_detection(t_audio, t_sr)
+        if t_vad:
+            start, end = t_vad[0][0], t_vad[-1][1]
+            if end - start < 4.0:
+                print("WARNING: The valid speaking duration of target "
+                      "audio is less than 4s. This may cause a bad result.")
+            t_audio = self.ap.split_audio_by_time(t_audio, t_sr, start, end)
+            target_embedding = self.tasr.get_speaker_embedding(t_audio, t_sr)
+        else:
+            print("ERROR: No VAD result in target audio. Automatically "
+                  "select one speaker from the input audio as the target.")
+        if key is not None:
+            self._enroll_cache[key] = target_embedding
+            if len(self._enroll_cache) > 32:
+                self._enroll_cache.pop(next(iter(self._enroll_cache)))
+        return target_embedding
+
+    @staticmethod
+    def _enroll_key(target_file):
+        """Stable content key for the enrollment cache; None = uncacheable."""
+        import hashlib
+
+        try:
+            if isinstance(target_file, str):
+                st = os.stat(target_file)
+                return ("path", target_file, st.st_mtime_ns, st.st_size)
+            if isinstance(target_file, np.ndarray):
+                return ("arr", hashlib.blake2b(
+                    np.ascontiguousarray(target_file).tobytes(),
+                    digest_size=16).hexdigest())
+            if isinstance(target_file, io.BytesIO):
+                return ("bytes", hashlib.blake2b(
+                    target_file.getvalue(), digest_size=16).hexdigest())
+        except Exception:
+            return None
+        return None

@@ -226,6 +226,18 @@ class ASRProcessor:
         with trace("asr/punctuation"):
             return self.punc.punctuation_restore(text)
 
+    def punctuation_restore_batch(self, texts: list) -> list:
+        """punctuation_restore over many texts with ONE device dispatch
+        (the pipeline's per-segment texts were one dispatch each)."""
+        if self.punc is None:
+            return list(texts)
+        todo = [t for t in texts if t]
+        if not todo:
+            return list(texts)
+        with trace("asr/punctuation"):
+            done = iter(self.punc.punctuation_restore_batch(todo))
+        return [next(done) if t else t for t in texts]
+
     def timestamp_prediction(self, audio_data: np.ndarray, text: str,
                              sampling_rate: int = 16000) -> list:
         """Char-level [start_ms, end_ms] for given text: uniform split of

@@ -48,6 +48,25 @@ def cast_inputs(dtype, *arrays):
     return out
 
 
+def quantize_i16(x) -> "np.ndarray":
+    """Host-side: f32 audio in [-1, 1] → int16 for upload (half the
+    bytes of f32 through the host↔device link). Integer input passes
+    through untouched."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if x.dtype.kind == "i":
+        return x.astype(np.int16)
+    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def dequantize_audio(audio):
+    """In-graph: int16 audio → f32 in [-1, 1]; float passes through."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) / 32768.0
+    return audio
+
+
 def f32(tree):
     """Cast all floating leaves of outputs back to fp32."""
     def _c(x):

@@ -123,13 +123,17 @@ class TestOfflinePipeline:
         audio, sr = chat_mix
         long_audio = np.tile(np.asarray(audio), 4)  # ~34.7 s
         called = {"cluster": 0}
-        orig = pipeline.sd_pipeline.diarize
+        # the fused frontend enters via diarize_from_windows; the
+        # per-engine fallback via diarize — either counts as routing
+        # to the cluster diarizer
+        for name in ("diarize", "diarize_from_windows"):
+            orig = getattr(pipeline.sd_pipeline, name)
 
-        def spy(*a, **k):
-            called["cluster"] += 1
-            return orig(*a, **k)
+            def spy(*a, _orig=orig, **k):
+                called["cluster"] += 1
+                return _orig(*a, **k)
 
-        monkeypatch.setattr(pipeline.sd_pipeline, "diarize", spy)
+            monkeypatch.setattr(pipeline.sd_pipeline, name, spy)
         _, results, _ = pipeline.infer(long_audio, output_target_audio=False)
         assert called["cluster"] == 1
         assert isinstance(results, list)
