@@ -352,6 +352,10 @@ class ASREngine:
         self.engine = "sensevoice" if isinstance(model, SenseVoice) else "paraformer"
         self.cmvn = cmvn  # (mean, istd) over LFR features or None
         if params is None:
+            print("WARNING: ASREngine initialized with RANDOM weights — "
+                  "transcripts will be garbage. Train or load a checkpoint "
+                  "(e.g. train.recipes.bootstrap_asr → checkpoints/"
+                  "asr-bootstrap).")
             t0 = 16
             params = self.model.init(
                 jax.random.PRNGKey(seed),
@@ -406,7 +410,12 @@ class ASREngine:
         model, params = from_pretrained(path)
         vocab_file = os.path.join(path, "vocab.txt")
         tok = CharTokenizer(vocab_file=vocab_file)
-        return cls(params=params, model=model, tokenizer=tok)
+        cmvn = None
+        cmvn_file = os.path.join(path, "cmvn.npz")
+        if os.path.exists(cmvn_file):  # FunASR am.mvn slot
+            with np.load(cmvn_file) as z:
+                cmvn = (z["mean"], z["istd"])
+        return cls(params=params, model=model, tokenizer=tok, cmvn=cmvn)
 
     def asr_detection_batch(self, audios: list, sr: int = 16000, **kw) -> list:
         """asr_detection over several utterances with one device dispatch

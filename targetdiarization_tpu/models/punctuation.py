@@ -64,6 +64,10 @@ class PunctuationEngine:
         self.tokenizer = tokenizer or CharTokenizer()
         self.model = model or CTTransformerPunc(vocab_size=len(self.tokenizer))
         if params is None:
+            print("WARNING: PunctuationEngine initialized with RANDOM "
+                  "weights — it will inject arbitrary punctuation. Train or "
+                  "load a checkpoint (train.recipes.bootstrap_punc → "
+                  "checkpoints/punc-bootstrap).")
             params = self.model.init(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, 16), jnp.int32),

@@ -93,6 +93,8 @@ def build_model(config=None):
         "segmentation_model": os.path.join(repo, "checkpoints", "seg-bootstrap"),
         "denoise_model": os.path.join(repo, "checkpoints", "den-bootstrap"),
         "restoration_model": os.path.join(repo, "checkpoints", "rest-bootstrap"),
+        "asr_model": os.path.join(repo, "checkpoints", "asr-bootstrap"),
+        "punc_model": os.path.join(repo, "checkpoints", "punc-bootstrap"),
     }
     for field, path in defaults.items():
         if not getattr(cfg, field) and os.path.exists(path):

@@ -584,3 +584,232 @@ def bootstrap_denoiser(steps: int = 200, batch: int = 2,
     }
     log_fn(f"denoiser bootstrap: {metrics}")
     return metrics
+
+
+def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
+                  checkpoint_dir: str = "checkpoints/asr-bootstrap",
+                  seed: int = 0, log_fn=print, eval_utts: int = 50) -> dict:
+    """Train a small Paraformer on the procedural synthetic language
+    (train/synth.py) so the default pipeline transcribes deterministic,
+    evaluable text instead of random-weight garbage (VERDICT.md round-1
+    item 1; reference contract ASRProcessor.py:210-252).
+
+    Loss = token CE (CIF with target_len scaling) + quantity loss
+    |Σα − n_chars| (calibrates inference-time firing). Ships vocab.txt
+    and corpus CMVN (cmvn.npz) alongside the params; reports held-out
+    CER and char-timestamp MAE.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import features
+    from ..models.asr import LFR_M, LFR_N, Paraformer
+    from ..models.tokenizer import CharTokenizer
+    from ..runtime.params import save_checkpoint
+    from .synth import BOOT_CHARS, cer, random_text, synth_utterance
+
+    rng = np.random.default_rng(seed)
+    tok = CharTokenizer()
+    n = int(seconds * 16000)
+    t_lfr = -(-features.num_frames(n) // LFR_N)
+    max_chars = 10
+
+    def sample_batch(gen):
+        audios = np.zeros((batch, n), np.float32)
+        ids = np.zeros((batch, max_chars), np.int32)
+        n_chars = np.zeros(batch, np.int32)
+        for b in range(batch):
+            text = random_text(gen, 2, max_chars)
+            snr = float(gen.uniform(12, 35)) if gen.random() < 0.5 else None
+            audio, _ = synth_utterance(text, gen, noise_snr_db=snr)
+            audios[b, : min(len(audio), n)] = audio[:n]
+            enc = tok.encode(text)
+            ids[b, : len(enc)] = enc
+            n_chars[b] = len(enc)
+        return audios, ids, n_chars
+
+    # corpus CMVN over LFR features (FunASR am.mvn slot)
+    feat_fn = jax.jit(lambda a: features.lfr(features.fbank(a), LFR_M, LFR_N))
+    s1 = np.zeros(80 * LFR_M, np.float64)
+    s2 = np.zeros(80 * LFR_M, np.float64)
+    cnt = 0
+    for _ in range(4):
+        audios, _, _ = sample_batch(rng)
+        f = np.asarray(feat_fn(jnp.asarray(audios)))
+        s1 += f.sum(axis=(0, 1))
+        s2 += (f ** 2).sum(axis=(0, 1))
+        cnt += f.shape[0] * f.shape[1]
+    mu = s1 / cnt
+    sd = np.sqrt(np.maximum(s2 / cnt - mu ** 2, 1e-8))
+    cmvn_mean = (-mu).astype(np.float32)  # FunASR stores negative means
+    cmvn_istd = (1.0 / sd).astype(np.float32)
+
+    model = Paraformer(vocab_size=len(tok), dim=128, heads=4, ffn=512,
+                       enc_layers=4, dec_layers=2)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, t_lfr, 80 * LFR_M)),
+                        jnp.ones((1, t_lfr)))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 1e-3, warmup_steps=min(100, steps // 10 + 1),
+        decay_steps=max(steps, 2))
+    opt = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = opt.init(params)
+    mean_j, istd_j = jnp.asarray(cmvn_mean), jnp.asarray(cmvn_istd)
+
+    @jax.jit
+    def step_fn(params, opt_state, audio, ids, n_chars):
+        def loss_fn(p):
+            feats = features.lfr(features.fbank(audio), LFR_M, LFR_N)
+            feats = features.apply_cmvn(feats, mean_j, istd_j)
+            mask = jnp.ones(feats.shape[:2], jnp.float32)
+            out = model.apply(p, feats, mask,
+                              target_len=n_chars.astype(jnp.float32))
+            logp = jax.nn.log_softmax(out["logits"], axis=-1)  # (B, U, V)
+            u = logp.shape[1]
+            pos_mask = (jnp.arange(u)[None, :] < n_chars[:, None])
+            tgt = jnp.pad(ids, ((0, 0), (0, u - ids.shape[1])))
+            ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            ce = jnp.sum(ce * pos_mask) / jnp.maximum(jnp.sum(pos_mask), 1.0)
+            qty = jnp.mean(jnp.abs(jnp.sum(out["alphas"], axis=1)
+                                   - n_chars.astype(jnp.float32)))
+            return ce + 0.5 * qty, (ce, qty)
+
+        (loss, (ce, qty)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, ce, qty
+
+    for i in range(steps):
+        audios, ids, n_chars = sample_batch(rng)
+        params, opt_state, loss, ce_v, qty_v = step_fn(
+            params, opt_state, jnp.asarray(audios), jnp.asarray(ids),
+            jnp.asarray(n_chars))
+        if (i + 1) % max(steps // 10, 1) == 0:
+            log_fn(f"asr step {i + 1}/{steps}: loss={float(loss):.4f} "
+                   f"ce={float(ce_v):.4f} qty={float(qty_v):.4f}")
+
+    import os
+
+    save_checkpoint(checkpoint_dir, params, "Paraformer",
+                    dict(vocab_size=len(tok), dim=128, heads=4, ffn=512,
+                         enc_layers=4, dec_layers=2))
+    tok.save(os.path.join(checkpoint_dir, "vocab.txt"))
+    np.savez(os.path.join(checkpoint_dir, "cmvn.npz"),
+             mean=cmvn_mean, istd=cmvn_istd)
+
+    # held-out eval: CER + char-timestamp MAE (inference-time CIF, no
+    # target_len oracle)
+    from ..models.asr import ASREngine
+
+    eng = ASREngine(params=params, model=model, tokenizer=tok,
+                    cmvn=(cmvn_mean, cmvn_istd))
+    gen = np.random.default_rng(seed + 1)
+    cers, ts_err = [], []
+    for _ in range(eval_utts):
+        text = random_text(gen, 2, max_chars)
+        audio, ranges = synth_utterance(text, gen)
+        res = eng.asr_detection(audio)[0]
+        cers.append(cer(text, res["text"]))
+        if res["text"] == text and len(res["timestamp"]) == len(ranges):
+            for (ps, pe), (ts, te) in zip(res["timestamp"], ranges):
+                pred_mid = (ps + pe) / 2.0
+                true_mid = (ts + te) / 2.0 * 1000.0
+                ts_err.append(abs(pred_mid - true_mid))
+    metrics = {
+        "final_loss": float(loss),
+        "eval_cer": float(np.mean(cers)),
+        "eval_exact": float(np.mean([c == 0.0 for c in cers])),
+        "timestamp_mae_ms": float(np.mean(ts_err)) if ts_err else None,
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"asr bootstrap: {metrics}")
+    return metrics
+
+
+def bootstrap_punc(steps: int = 800, batch: int = 32,
+                   checkpoint_dir: str = "checkpoints/punc-bootstrap",
+                   seed: int = 0, log_fn=print, eval_utts: int = 200) -> dict:
+    """Train CTTransformerPunc on rule-punctuated synthetic text
+    (train/synth.punctuate_by_rule) — deterministic ground truth the
+    model can learn exactly (VERDICT.md round-1 item 2; reference
+    ASRProcessor.py:261-268)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.punctuation import CTTransformerPunc, PunctuationEngine
+    from ..models.tokenizer import CharTokenizer
+    from ..runtime.params import save_checkpoint
+    from .synth import punctuate_by_rule, random_text
+
+    rng = np.random.default_rng(seed)
+    tok = CharTokenizer()
+    max_len = 16
+
+    def sample_batch(gen):
+        ids = np.zeros((batch, max_len), np.int32)
+        cls = np.zeros((batch, max_len), np.int32)
+        mask = np.zeros((batch, max_len), np.float32)
+        for b in range(batch):
+            text = random_text(gen, 2, max_len)
+            _, classes = punctuate_by_rule(text)
+            enc = tok.encode(text)
+            ids[b, : len(enc)] = enc
+            cls[b, : len(enc)] = classes
+            mask[b, : len(enc)] = 1.0
+        return ids, cls, mask
+
+    model = CTTransformerPunc(vocab_size=len(tok), dim=128, ffn=256,
+                              n_layers=2)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, max_len), jnp.int32),
+                        jnp.ones((1, max_len)))
+    opt = optax.adamw(1e-3, weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, ids, cls, mask):
+        def loss_fn(p):
+            logits = model.apply(p, ids, mask)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, cls[..., None], axis=-1)[..., 0]
+            return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        ids, cls, mask = sample_batch(rng)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(ids), jnp.asarray(cls),
+            jnp.asarray(mask))
+        if (i + 1) % max(steps // 5, 1) == 0:
+            log_fn(f"punc step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    save_checkpoint(checkpoint_dir, params, "CTTransformerPunc",
+                    dict(vocab_size=len(tok), dim=128, ffn=256, n_layers=2))
+    tok.save(os.path.join(checkpoint_dir, "vocab.txt"))
+
+    # held-out: class accuracy + end-to-end restore equality
+    eng = PunctuationEngine(params=params, model=model, tokenizer=tok)
+    gen = np.random.default_rng(seed + 1)
+    correct = total = exact = 0
+    for _ in range(eval_utts):
+        text = random_text(gen, 2, max_len)
+        want_text, want_cls = punctuate_by_rule(text)
+        got_cls = eng.predict_classes(text)
+        correct += int(np.sum(np.asarray(want_cls) == got_cls))
+        total += len(want_cls)
+        exact += int(eng.punctuation_restore(text) == want_text)
+    metrics = {
+        "final_loss": float(loss),
+        "class_accuracy": correct / max(total, 1),
+        "exact_restore": exact / max(eval_utts, 1),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"punc bootstrap: {metrics}")
+    return metrics

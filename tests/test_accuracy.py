@@ -1,0 +1,111 @@
+"""Pipeline-level accuracy regression (VERDICT.md round-1 item 6).
+
+Ground truth: the REFERENCE system's own output on the checked-in
+fixture pair (chat_mix.wav + female_a.wav), transcribed from its demo
+recording (assets/webui_demo.mp4 shows the full speaker-log JSON for
+exactly this input) — see tests/fixtures/chat_mix_reference.json.
+
+Two guards:
+- DER of the full `infer` against the reference diarization stays under
+  a recorded ceiling (bootstrap-checkpoint quality; tighten as the
+  shipped checkpoints improve).
+- A golden snapshot of the current output (segment count, speakers,
+  boundaries) so any silent behavior change fails CI. Regenerate
+  deliberately with TD_REGEN_GOLDEN=1 after a model upgrade.
+"""
+
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
+REFERENCE_JSON = FIXTURES / "chat_mix_reference.json"
+GOLDEN_JSON = FIXTURES / "chat_mix_golden.json"
+
+# Ceiling for the shipped bootstrap checkpoints (measured 0.43 with the
+# round-2 set). The driver target is parity within 1% of the reference —
+# that needs reference-scale training data; this guards regressions.
+DER_CEILING = 0.50
+
+
+@pytest.fixture(scope="module")
+def served_output():
+    needed = ["vad-bootstrap", "spk-bootstrap", "seg-bootstrap"]
+    if not all((REPO / "checkpoints" / n).exists() for n in needed):
+        pytest.skip("bootstrap checkpoints not present")
+    from targetdiarization_tpu.serve.server import build_model
+
+    model = build_model()
+    target_spk, results, target_audio = model.infer(
+        str(REPO.parent / "reference" / "assets" / "chat_mix.wav")
+        if not os.path.exists("/root/reference/assets/chat_mix.wav")
+        else "/root/reference/assets/chat_mix.wav",
+        target_file="/root/reference/assets/female_a.wav",
+        output_target_audio=True)
+    return {"target_spk": target_spk, "results": results,
+            "target_audio": target_audio}
+
+
+def _to_ranges(results):
+    out = {}
+    for r in results:
+        out.setdefault(r["speaker"], []).append(tuple(r["timerange"]))
+    return out
+
+
+class TestDiarizationAccuracy:
+    def test_der_vs_reference_under_ceiling(self, served_output):
+        from targetdiarization_tpu.train.eval_metrics import der
+
+        gt = json.loads(REFERENCE_JSON.read_text())
+        ref = _to_ranges(gt["results"])
+        hyp = _to_ranges(served_output["results"])
+        d = der(ref, hyp)
+        assert d <= DER_CEILING, f"DER {d:.3f} > ceiling {DER_CEILING}"
+
+    def test_speech_coverage(self, served_output):
+        """Hypothesis must cover most of the reference speech span and
+        not hallucinate speech far outside it."""
+        hyp = [r["timerange"] for r in served_output["results"]]
+        assert hyp, "no segments produced"
+        lo = min(s for s, _ in hyp)
+        hi = max(e for _, e in hyp)
+        assert lo <= 0.5, f"first speech starts too late: {lo}"
+        assert hi >= 8.0, f"speech ends too early: {hi}"
+        assert hi <= 8.67, f"speech past end of audio: {hi}"
+
+    def test_target_audio_produced(self, served_output):
+        audio = served_output["target_audio"]
+        assert audio is not None and audio.size > 16000
+        assert np.isfinite(audio).all()
+
+
+class TestGoldenSnapshot:
+    def test_output_matches_golden(self, served_output):
+        snap = {
+            "target_spk": served_output["target_spk"],
+            "segments": [
+                {"speaker": r["speaker"],
+                 "timerange": [round(float(r["timerange"][0]), 2),
+                               round(float(r["timerange"][1]), 2)],
+                 "type": r["type"]}
+                for r in served_output["results"]
+            ],
+        }
+        if os.environ.get("TD_REGEN_GOLDEN") == "1" or not GOLDEN_JSON.exists():
+            GOLDEN_JSON.write_text(
+                json.dumps(snap, ensure_ascii=False, indent=1))
+            pytest.skip("golden snapshot (re)generated")
+        golden = json.loads(GOLDEN_JSON.read_text())
+        assert snap["target_spk"] == golden["target_spk"]
+        assert len(snap["segments"]) == len(golden["segments"]), (
+            f"segment count changed: {snap} vs {golden}")
+        for got, want in zip(snap["segments"], golden["segments"]):
+            assert got["speaker"] == want["speaker"]
+            assert got["type"] == want["type"]
+            assert abs(got["timerange"][0] - want["timerange"][0]) <= 0.3
+            assert abs(got["timerange"][1] - want["timerange"][1]) <= 0.3
