@@ -170,11 +170,25 @@ class FlashBlock(nn.Module):
         vg, ug = group(v), group(u)
         mg = mask.reshape(b, n_groups, 1, g)
 
-        # quadratic intra-group attention: relu²(qkᵀ/g), masked
-        sim = jnp.einsum("bgid,bgjd->bgij", qq, qk_) / g
-        attn = jnp.square(jax.nn.relu(sim)) * mg
-        quad_v = jnp.einsum("bgij,bgje->bgie", attn, vg)
-        quad_u = jnp.einsum("bgij,bgje->bgie", attn, ug)
+        # quadratic intra-group attention: relu²(qkᵀ/g), masked.
+        # On TPU this routes through the fused Pallas kernel
+        # (ops/pallas/flash.py), which keeps the (g, g) attention matrix
+        # in VMEM across both contractions. At production bf16 shapes
+        # (B=1, G=62, g=256, d=128, e=1024) it measures 1.03 ms vs
+        # 1.05 ms for the XLA einsums — a tie (XLA fuses well here);
+        # kept wired for the guaranteed-no-HBM-round-trip property.
+        # Disable with TD_NO_PALLAS_FLASH=1.
+        import os
+
+        from ..ops.pallas.flash import flash_group_attention
+
+        use_pallas = None
+        if os.environ.get("TD_NO_PALLAS_FLASH") == "1":
+            use_pallas = False
+        quad_v, quad_u = flash_group_attention(
+            qq, qk_, vg, ug, mg, use_pallas=use_pallas)
+        quad_v = quad_v.astype(vg.dtype)
+        quad_u = quad_u.astype(ug.dtype)
 
         # global linear attention (non-causal): one kv summary over all
         # valid frames (lin_k already masked), shared across groups

@@ -22,19 +22,21 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
-def _use_pallas() -> bool:
-    """Route through the Pallas tiled kernel only when explicitly asked.
-
-    Measured on v5e (RTT-amortized, bf16): the K static slice-FMAs below
-    fuse under XLA to ~HBM-bound already — 0.30 ms vs the Pallas
-    kernel's 0.39 ms at (1, 16000, 256) K=39, 0.31 vs 0.61 ms at
-    (1, 16000, 2048) K=3 d=8. The Pallas kernel (ops/pallas/dwconv.py)
-    is kept, parity-tested, as the escape hatch for shapes where XLA's
-    fusion regresses; enable with TD_PALLAS_DWCONV=1.
+def _use_pallas(cin: int) -> bool:
+    """Width-dependent routing, measured on v5e (RTT-amortized, bf16,
+    T=16k): XLA fuses the K slice-FMAs to ~HBM-bound up to C=1024
+    (pallas ties there — 0.57 vs 0.58 ms at C=512 K=17), but the fusion
+    falls over at C=2048 where the Pallas tiled kernel wins 2.8×
+    (K=17: 1.97 vs 5.42 ms; K=39: 3.24 vs 9.24 ms). Default: Pallas on
+    TPU for cin ≥ 2048. Override with TD_PALLAS_DWCONV=1 (always) or
+    =0 (never).
     """
     import os
 
-    if os.environ.get("TD_PALLAS_DWCONV", "0") != "1":
+    flag = os.environ.get("TD_PALLAS_DWCONV")
+    if flag == "0":
+        return False
+    if flag != "1" and cin < 2048:
         return False
     import jax
 
@@ -53,9 +55,10 @@ def dw_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, dilation: int = 1,
     input channels [g·m, (g+1)·m) — identical to lax grouped-conv
     channel assignment.
 
-    Default path: K static slice-FMAs, which XLA fuses to ~HBM-bound on
-    both TPU and CPU (see _use_pallas for measurements). Set
-    TD_PALLAS_DWCONV=1 to route through the Pallas tiled kernel on TPU.
+    Two paths (see _use_pallas for the measurements): K static
+    slice-FMAs that XLA fuses to ~HBM-bound for C ≤ 1024, and the Pallas
+    tiled kernel for wide channels (C ≥ 2048) where that fusion breaks
+    down.
     """
     k, m, features = kernel.shape
     t = x.shape[-2]
@@ -68,7 +71,7 @@ def dw_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, dilation: int = 1,
     else:
         pad_l, pad_r = padding
 
-    if _use_pallas():
+    if _use_pallas(x.shape[-1]):
         from .pallas import dwconv as pdw
 
         if pdw.supported(x.shape, kernel.shape, dilation):
@@ -79,17 +82,26 @@ def dw_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, dilation: int = 1,
                 return pdw.dw_conv1d_pallas(x[None], kern, dilation, pad_l,
                                             pad_r)[0]
 
+    if m > 1:
+        # grouped-input conv = m strided-channel depthwise convs summed
+        # (input channel c·m+j feeds group c) — each term is the fusable
+        # m=1 slice-FMA chain below; the per-tap (…, C, m) einsum this
+        # replaces lowered to 39 unfused tiny-contraction dots (~6 ms of
+        # GatedFsmnBlock's cost at C=256)
+        out = None
+        for j in range(m):
+            oj = dw_conv1d(x[..., j::m], kernel[:, j : j + 1, :],
+                           dilation=dilation, padding=(pad_l, pad_r))
+            out = oj if out is None else out + oj
+        return out
+
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad_l, pad_r), (0, 0)])
     t_avail = t + pad_l + pad_r - span
     out = None
     kern = kernel.astype(x.dtype)
     for i in range(k):
         xi = xp[..., i * dilation : i * dilation + t_avail, :]
-        if m == 1:
-            term = xi * kern[i, 0]
-        else:
-            xi = xi.reshape(*xi.shape[:-1], features, m)
-            term = jnp.einsum("...cj,jc->...c", xi, kern[i])
+        term = xi * kern[i, 0]
         out = term if out is None else out + term
     return out
 

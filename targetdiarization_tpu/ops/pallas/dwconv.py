@@ -12,11 +12,11 @@ Layout contract matches `nn.Conv(features=C, kernel_size=(K,),
 feature_group_count=C)`: x is (B, T, C·m) with group g reading input
 channels [g·m, (g+1)·m); weight is (K, m, C).
 
-Status: opt-in (TD_PALLAS_DWCONV=1). Once ops/dwconv.py reformulated the
-conv as K slice-FMAs, XLA's fusion reached ~HBM-bound on its own —
-RTT-amortized v5e measurements put this kernel at 0.39 ms vs jnp 0.30 ms
-for (1, 16000, 256) K=39 — so the jnp path is the default and this
-kernel is the escape hatch for shapes where that fusion regresses.
+Status: default path for wide channels (cin ≥ 2048) on TPU, where XLA's
+slice-FMA fusion breaks down — measured 1.97 vs 5.42 ms (K=17) and
+3.24 vs 9.24 ms (K=39) at (1, 16128, 2048) bf16. For C ≤ 1024 the jnp
+formulation already reaches ~HBM-bound and the two tie, so ops/dwconv.py
+keeps jnp there (TD_PALLAS_DWCONV=1/0 force-overrides the routing).
 Differentiable via custom VJP (dx = depthwise conv with the flipped
 kernel; dw = K shifted reductions in plain jnp).
 """
@@ -31,9 +31,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _tile_t(cin: int) -> int:
-    """Time rows per program: bound VMEM (cur+next+acc) to a few MB."""
-    return 512 if cin <= 1024 else 256
+def _tile_t(cin: int, itemsize: int = 2) -> int:
+    """Time rows per program, bounding VMEM: the kernel holds two input
+    blocks, their (2·tile, cin) concat window, an f32 (tile, cin)
+    accumulator and the output block — ≈ tile·cin·(5·itemsize + 8) bytes.
+    Budget ~8 MB of the 16 MB VMEM."""
+    per_row = cin * (5 * itemsize + 8)
+    tile = (8 * 1024 * 1024) // max(per_row, 1)
+    return max(min(tile // 128 * 128, 512), 128)
 
 
 def _dw_kernel(x_cur, x_next, w_ref, out_ref, *, k: int, m: int,
@@ -84,7 +89,7 @@ def _dw_fwd_impl(x, w, dilation, pad_l, pad_r):
     if pad_r is None:
         pad_r = span - span // 2
     t_out = t + pad_l + pad_r - span
-    tile = _tile_t(cin)
+    tile = _tile_t(cin, x.dtype.itemsize)
     n_tiles = -(-t_out // tile)
     # pad so every tile and its "next" halo block exist
     total = (n_tiles + 1) * tile
@@ -167,5 +172,5 @@ def supported(x_shape, w_shape, dilation: int = 1) -> bool:
     return (
         c % 128 == 0
         and cin % 128 == 0
-        and (k - 1) * dilation <= _tile_t(cin)
+        and (k - 1) * dilation <= 128  # min tile
     )

@@ -45,9 +45,13 @@ def _kernel(q_ref, k_ref, v_ref, u_ref, mask_ref, outv_ref, outu_ref):
     v, u = v_ref[0], u_ref[0]           # (g, e)
     m = mask_ref[0]                     # (1, g) → broadcasts over rows
     sim = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (1.0 / g)
-    attn = jnp.square(jnp.maximum(sim, 0.0)) * m  # (g, g), stays in VMEM
-    outv_ref[0] = jnp.dot(attn, v, preferred_element_type=jnp.float32)
-    outu_ref[0] = jnp.dot(attn, u, preferred_element_type=jnp.float32)
+    attn = (jnp.square(jnp.maximum(sim, 0.0)) * m).astype(v.dtype)  # in VMEM
+    # accumulate f32 on the MXU, store in the input dtype (bf16 inputs →
+    # half the output HBM traffic)
+    outv_ref[0] = jnp.dot(attn, v, preferred_element_type=jnp.float32
+                          ).astype(outv_ref.dtype)
+    outu_ref[0] = jnp.dot(attn, u, preferred_element_type=jnp.float32
+                          ).astype(outu_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -81,8 +85,8 @@ def _flash_pallas(q, k, v, u, mask, interpret: bool = False):
             pl.BlockSpec((1, g, e), idx, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bg, g, e), jnp.float32),
-            jax.ShapeDtypeStruct((bg, g, e), jnp.float32),
+            jax.ShapeDtypeStruct((bg, g, e), v.dtype),
+            jax.ShapeDtypeStruct((bg, g, e), v.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bg * (g * g * d + 2 * g * g * e),
