@@ -146,6 +146,7 @@ class CIFPredictor(nn.Module):
         h = jax.nn.relu(h)
         alphas = jax.nn.sigmoid(nn.Dense(1, name="alpha")(h))[..., 0]  # (B, T)
         alphas = alphas * mask
+        alphas_raw = alphas  # pre-scaling: the quantity-loss target
         if target_len is not None:
             # training-time scaling so sum(alphas) == target token count
             total = jnp.maximum(jnp.sum(alphas, axis=1, keepdims=True), 1e-6)
@@ -157,7 +158,7 @@ class CIFPredictor(nn.Module):
             enc.astype(jnp.float32), alphas.astype(jnp.float32), self.threshold
         )
         tokens = tokens.astype(enc.dtype)
-        return tokens, fires, alphas, fire_frames, n_tokens
+        return tokens, fires, alphas, fire_frames, n_tokens, alphas_raw
 
 
 def cif_fire(hidden: jnp.ndarray, alphas: jnp.ndarray, threshold: float = 1.0):
@@ -227,7 +228,7 @@ class Paraformer(nn.Module):
         enc = SANMEncoder(
             self.dim, self.heads, self.ffn, self.enc_layers, name="encoder"
         )(feats, mask)
-        tokens, fires, alphas, fire_frames, n_tokens = CIFPredictor(
+        tokens, fires, alphas, fire_frames, n_tokens, alphas_raw = CIFPredictor(
             self.dim, name="predictor"
         )(enc, mask, target_len)
         u = tokens.shape[1]
@@ -243,7 +244,8 @@ class Paraformer(nn.Module):
             "logits": logits,  # (B, U, V)
             "n_tokens": n_tokens,  # (B,)
             "fire_frames": fire_frames,  # (B, U)
-            "alphas": alphas,  # (B, T)
+            "alphas": alphas,  # (B, T) post-scaling (CIF input)
+            "alphas_raw": alphas_raw,  # (B, T) pre-scaling (quantity loss)
             "encoder_out": enc,
         }
 

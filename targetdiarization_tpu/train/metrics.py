@@ -1,10 +1,12 @@
 """Separation evaluation metrics + CSV logging harness.
 
 Equivalent capability to look2hear/metrics/wrapper.py:28-199: per-example
-SI-SNR(i), SDR(i) and a CSV report. (The reference additionally wraps
-PESQ/STOI/DNSMOS/SigMOS, which are external compiled/ONNX models; here
-the natively-computable metrics are first-class and an STOI-style
-band-correlation proxy is provided.)
+SI-SNR(i), SDR(i), STOI, PESQ and a CSV report. STOI is the real Taal
+et al. algorithm and PESQ a P.862-style perceptual model, both native
+(train/perceptual.py); DNSMOS/SigMOS need released ONNX weights that
+don't exist in this environment (documented in docs/PARITY.md). The
+legacy band-correlation `stoi_proxy` is kept for backward compatibility
+of recorded CSVs.
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .losses import si_sdr, snr
+from .perceptual import pesq as _pesq, stoi as _stoi
 
 
 def sdr(est, ref) -> float:
@@ -69,7 +72,7 @@ class MetricsTracker:
     """Accumulate per-example metrics and write a CSV report
     (reference wrapper.py CSV logging :48-51, 156-199)."""
 
-    FIELDS = ("key", "si_snr", "si_snr_i", "sdr", "sdr_i", "stoi_proxy")
+    FIELDS = ("key", "si_snr", "si_snr_i", "sdr", "sdr_i", "stoi", "pesq")
 
     def __init__(self, save_path: str | None = None):
         self.rows: list = []
@@ -82,8 +85,10 @@ class MetricsTracker:
             "si_snr_i": round(si_snr_i(est, ref, mix), 3),
             "sdr": round(sdr(est, ref), 3),
             "sdr_i": round(sdr_i(est, ref, mix), 3),
-            "stoi_proxy": round(stoi_proxy(np.asarray(est).ravel(),
-                                           np.asarray(ref).ravel()), 3),
+            "stoi": round(_stoi(np.asarray(ref).ravel(),
+                               np.asarray(est).ravel()), 3),
+            "pesq": round(_pesq(np.asarray(ref).ravel(),
+                               np.asarray(est).ravel()), 3),
         }
         self.rows.append(row)
         return row

@@ -671,7 +671,11 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
             tgt = jnp.pad(ids, ((0, 0), (0, u - ids.shape[1])))
             ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
             ce = jnp.sum(ce * pos_mask) / jnp.maximum(jnp.sum(pos_mask), 1.0)
-            qty = jnp.mean(jnp.abs(jnp.sum(out["alphas"], axis=1)
+            # quantity loss on the PRE-scaling alphas: with target_len
+            # given, out["alphas"] is scaled to sum exactly to n_chars,
+            # which made this term identically zero (the round-2 CER-1.66
+            # bug: inference fired ~2.5x per char)
+            qty = jnp.mean(jnp.abs(jnp.sum(out["alphas_raw"], axis=1)
                                    - n_chars.astype(jnp.float32)))
             return ce + 0.5 * qty, (ce, qty)
 

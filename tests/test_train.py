@@ -195,3 +195,66 @@ class TestMetrics:
             rows = list(_csv.DictReader(f))
         assert rows[-1]["key"] == "mean"
         assert float(rows[0]["si_snr"]) > 50
+
+
+class TestPerceptualMetrics:
+    """train/perceptual.py: real STOI + P.862-style PESQ."""
+
+    def _speech(self):
+        import pathlib
+
+        from targetdiarization_tpu.utils.audio_io import read_audio
+
+        audio, sr = read_audio("/root/reference/assets/female_a.wav")
+        return np.asarray(audio)[: sr * 2], sr
+
+    def test_stoi_clean_is_one(self):
+        from targetdiarization_tpu.train.perceptual import stoi
+
+        x, sr = self._speech()
+        assert stoi(x, x, sr) > 0.999
+
+    def test_stoi_monotonic_in_snr(self):
+        from targetdiarization_tpu.train.perceptual import stoi
+
+        x, sr = self._speech()
+        rng = np.random.default_rng(0)
+        noise = rng.standard_normal(len(x)).astype(np.float32)
+        scores = []
+        for snr_db in (20, 10, 0, -10):
+            n = noise * np.sqrt(np.mean(x**2) / np.mean(noise**2)
+                                * 10 ** (-snr_db / 10))
+            scores.append(stoi(x, x + n, sr))
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
+        assert scores[0] > 0.9 and scores[-1] < 0.6
+
+    def test_pesq_clean_is_max(self):
+        from targetdiarization_tpu.train.perceptual import pesq
+
+        x, sr = self._speech()
+        assert pesq(x, x, sr) > 4.5
+
+    def test_pesq_monotonic_in_snr(self):
+        from targetdiarization_tpu.train.perceptual import pesq
+
+        x, sr = self._speech()
+        rng = np.random.default_rng(0)
+        noise = rng.standard_normal(len(x)).astype(np.float32)
+        scores = []
+        for snr_db in (30, 20, 10, 5):
+            n = noise * np.sqrt(np.mean(x**2) / np.mean(noise**2)
+                                * 10 ** (-snr_db / 10))
+            scores.append(pesq(x, x + n, sr))
+        assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+        assert scores[0] > 4.0 and scores[-1] < 3.0
+
+    def test_tracker_logs_stoi_pesq(self, tmp_path):
+        from targetdiarization_tpu.train.metrics import MetricsTracker
+
+        x, sr = self._speech()
+        t = MetricsTracker(save_path=str(tmp_path / "m.csv"))
+        row = t.update("a", x, x, x)
+        assert row["stoi"] > 0.999 and row["pesq"] > 4.5
+        path = t.write_csv()
+        head = open(path).readline()
+        assert "stoi" in head and "pesq" in head
