@@ -197,22 +197,49 @@ class ASRProcessor:
         return results
 
     def asr_detection_api(self, audio_data: np.ndarray, sampling_rate: int,
-                          engine: str, prompt: str = "") -> list:
-        """Cloud ASR clients (tencent/xunfei/gemini/jzx). Network egress
-        is unavailable in this environment; the clients validate config
-        and fail soft with an empty result, preserving the reference's
-        error contract (ASRProcessor.py:529-739)."""
-        creds = self.api_config.get(engine.replace("_api", ""), {})
+                          engine: str, prompt: str = "",
+                          language: str = "auto", transport=None) -> list:
+        """Cloud ASR (reference ASRProcessor.py:529-739). The `tencent`
+        engine speaks the real Flash-Recognition wire protocol natively
+        (processors/cloud_asr.py: canonical query, HMAC-SHA1 signing,
+        response parse) over an injectable transport — live urllib by
+        default, a mock in tests (this environment has no egress).
+        xunfei/gemini/jzx require vendor SDKs/streams and fail soft with
+        the reference's empty-result contract."""
+        engine = engine.replace("_api", "").lower()
+        creds = self.api_config.get(engine, {})
         if not creds:
             self._log(f"{engine}: no credentials in config.json")
             return [{"text": "", "timestamp": [], "error": "missing credentials"}]
-        try:
-            import urllib.request  # noqa: F401 — egress-gated path
+        if engine == "tencent":
+            from .cloud_asr import TencentFlashASR, format_hotwords, wav_bytes
 
-            raise RuntimeError("network egress disabled in this environment")
-        except Exception as e:
-            self._log(f"{engine} failed: {e}")
-            return [{"text": "", "timestamp": [], "error": str(e)}]
+            try:
+                client = TencentFlashASR(
+                    appid=creds.get("appid", ""),
+                    secret_id=creds.get("secret_id", ""),
+                    secret_key=creds.get("secret_key", ""),
+                    transport=transport,
+                )
+                lang = "16k_zh" if language in ("", "auto") \
+                    else f"16k_{language.lower()}"
+                res = client.recognize(
+                    wav_bytes(audio_data, sampling_rate),
+                    engine_type=lang,
+                    hotword_list=format_hotwords(prompt),
+                )
+                timestamps = [[s["start_ms"], s["end_ms"]]
+                              for s in res["sentences"]]
+                lang_out = (language if language not in ("", "auto")
+                            else self.detect_language(res["text"]))
+                return [{"text": res["text"], "timestamp": timestamps,
+                         "language": lang_out}]
+            except Exception as e:
+                self._log(f"tencent failed: {e}")
+                return [{"text": "", "timestamp": [], "error": str(e)}]
+        self._log(f"{engine}: requires a vendor SDK unavailable here")
+        return [{"text": "", "timestamp": [],
+                 "error": f"{engine} SDK unavailable"}]
 
     # ---------------- punctuation / timestamps ----------------
 
