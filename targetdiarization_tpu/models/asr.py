@@ -403,6 +403,28 @@ class ASREngine:
 
         self._apply = jax.jit(_fwd)
 
+        def _align(p, audio, n_frames, target_len):
+            # forced alignment: CIF with the alpha mass scaled to exactly
+            # target_len tokens — fire positions depend only on the
+            # acoustics, so this aligns ARBITRARY text of known length
+            # (the dedicated fa-zh timestamp model's role,
+            # reference ASRProcessor.py:900-933)
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) / 32768.0
+            feats = features.fbank(audio)
+            feats = features.lfr(feats, LFR_M, LFR_N)
+            if self.cmvn is not None:
+                feats = features.apply_cmvn(
+                    feats, jnp.asarray(self.cmvn[0]), jnp.asarray(self.cmvn[1]))
+            t = feats.shape[1]
+            mask = (jnp.arange(t)[None, :] < n_frames[:, None]).astype(jnp.float32)
+            feats_c, mask_c = cast_inputs(self.compute_dtype, feats, mask)
+            out = self.model.apply(p, feats_c, mask_c,
+                                   target_len=target_len.astype(jnp.float32))
+            return out["fire_frames"]
+
+        self._align = jax.jit(_align) if self.engine == "paraformer" else None
+
     @classmethod
     def from_pretrained(cls, path: str) -> "ASREngine":
         import os
@@ -475,6 +497,34 @@ class ASREngine:
         ]
         ts_list = [ts_list[i] for i in keep if i < len(ts_list)]
         return {"text": text, "timestamp": ts_list}
+
+    def force_align(self, audio: np.ndarray, n_tokens: int,
+                    sr: int = 16000) -> list:
+        """[start_ms, end_ms] per token for a KNOWN token count, via CIF
+        forced alignment (alphas scaled so exactly n_tokens fire)."""
+        if self._align is None or n_tokens <= 0:
+            return []
+        audio = np.asarray(audio, np.float32)
+        if sr != 16000:
+            from ..ops.resample import resample_poly_np
+
+            audio = resample_poly_np(audio, 16000, sr)
+            sr = 16000
+        top = _SAMPLE_LADDER.rungs[-1]
+        audio = audio[:top]
+        n_valid = features.num_frames(len(audio), sr)
+        if n_valid == 0:
+            return []
+        t = -(-n_valid // LFR_N)
+        n_tokens = min(n_tokens, t)
+        bucket = _SAMPLE_LADDER.bucket(len(audio))
+        padded = pad_to(audio, bucket)[None]
+        from ..runtime.precision import quantize_i16
+
+        fire = np.asarray(self._align(
+            self._params_c, jnp.asarray(quantize_i16(padded)),
+            jnp.asarray([t]), jnp.asarray([n_tokens])))[0, :n_tokens]
+        return fire_frames_to_timestamps(fire, t)
 
     def asr_detection(self, audio: np.ndarray, sr: int = 16000, **kw) -> list:
         """[{'text': ..., 'timestamp': [[ms, ms], ...]}] — the contract

@@ -267,12 +267,22 @@ class ASRProcessor:
 
     def timestamp_prediction(self, audio_data: np.ndarray, text: str,
                              sampling_rate: int = 16000) -> list:
-        """Char-level [start_ms, end_ms] for given text: uniform split of
-        VAD speech across chars (the dedicated FunASR timestamp model's
-        role, ASRProcessor.py:900-933; Paraformer CIF timestamps are the
-        primary path)."""
+        """Char-level [start_ms, end_ms] for given text (the dedicated
+        fa-zh timestamp model's role, reference ASRProcessor.py:900-933).
+
+        Primary path: CIF forced alignment — the Paraformer predictor's
+        alpha mass scaled to exactly len(text) tokens, so fire positions
+        align arbitrary text to the acoustics (monotonic, count-exact).
+        Fallback (no paraformer engine): VAD-weighted uniform split."""
         if not text:
             return []
+        chars = [c for c in text if not c.isspace()]
+        if (self.asr is not None and getattr(self.asr, "_align", None)
+                is not None and chars):
+            ts = self.asr.force_align(audio_data, len(chars),
+                                      sr=sampling_rate)
+            if len(ts) == len(chars):
+                return ts
         segs = self.vad_detection(audio_data, sampling_rate)
         if not segs:
             segs = [[0.0, len(audio_data) / sampling_rate]]

@@ -143,3 +143,46 @@ class TestPunctuation:
             tokenizer=tok,
         )
         assert eng.punctuation_restore("") == ""
+
+
+class TestForceAlign:
+    """CIF forced alignment (the fa-zh timestamp-predictor slot)."""
+
+    def test_force_align_counts_and_monotonic(self, rng):
+        from targetdiarization_tpu.models.asr import ASREngine, Paraformer
+        from targetdiarization_tpu.models.tokenizer import CharTokenizer
+
+        tok = CharTokenizer(vocab=["<blank>", "<s>", "</s>", "<unk>"]
+                            + list("abc"))
+        eng = ASREngine(model=Paraformer(vocab_size=len(tok), dim=32, ffn=64,
+                                         enc_layers=1, dec_layers=1),
+                        tokenizer=tok)
+        audio = rng.standard_normal(32000).astype(np.float32) * 0.1
+        ts = eng.force_align(audio, 7)
+        assert len(ts) == 7
+        for (s0, e0), (s1, e1) in zip(ts, ts[1:]):
+            assert s0 <= s1 and e0 <= e1  # monotonic
+        assert all(e > s for s, e in ts)
+
+    def test_processor_timestamp_prediction_uses_alignment(self):
+        import pathlib
+
+        ckpt = (pathlib.Path(__file__).resolve().parent.parent
+                / "checkpoints" / "asr-bootstrap")
+        if not ckpt.exists():
+            pytest.skip("asr-bootstrap not present")
+        from targetdiarization_tpu.models.asr import ASREngine
+        from targetdiarization_tpu.processors.asr import ASRProcessor
+        from targetdiarization_tpu.train.synth import synth_utterance
+
+        asrp = ASRProcessor()
+        asrp.asr = ASREngine.from_pretrained(str(ckpt))
+        gen = np.random.default_rng(7)
+        text = "三一五一二"
+        audio, ranges = synth_utterance(text, gen)
+        ts = asrp.timestamp_prediction(audio, text)
+        assert len(ts) == len(text)
+        # aligned boundaries should land near the true char midpoints
+        err = [abs((s + e) / 2 - (ts_[0] + ts_[1]) / 2 * 0.001)
+               for (s, e), ts_ in zip(ranges, ts)]
+        assert float(np.mean(err)) < 0.30, err
