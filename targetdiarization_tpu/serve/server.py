@@ -81,6 +81,12 @@ def build_model(config=None):
     from ..processors.audio import AudioProcessor
 
     cfg = config or env_config()
+    # persistent XLA compilation cache: first-run compiles (~minutes over
+    # a remote-TPU link) amortize across server restarts (round-1 weak
+    # item 8 — cold start)
+    from ..runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     # default to the shipped bootstrap checkpoints when a stage has no
     # configured model (train/recipes.py produces these from the fixture
     # audio; see README "Checkpoints")
@@ -426,6 +432,11 @@ def create_app(model=None, serve_ui: bool = True):
 
 def run_server(host: str = "0.0.0.0", port: int = 8000, config=None):
     model = build_model(config)
+    if os.environ.get("TD_WARMUP", "1") == "1":
+        from ..runtime.compile_cache import warmup_pipeline
+
+        logger.info("precompiling hot paths (TD_WARMUP=0 to skip)...")
+        warmup_pipeline(model)
     app = create_app(model)
     logger.info(f"Target Diarization API on {host}:{port}")
     web.run_app(app, host=host, port=port)
