@@ -588,7 +588,9 @@ def bootstrap_denoiser(steps: int = 200, batch: int = 2,
 
 def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
                   checkpoint_dir: str = "checkpoints/asr-bootstrap",
-                  seed: int = 0, log_fn=print, eval_utts: int = 50) -> dict:
+                  seed: int = 0, log_fn=print, eval_utts: int = 50,
+                  dim: int = 128, enc_layers: int = 4, dec_layers: int = 2,
+                  ffn: int = 512) -> dict:
     """Train a small Paraformer on the procedural synthetic language
     (train/synth.py) so the default pipeline transcribes deterministic,
     evaluable text instead of random-weight garbage (VERDICT.md round-1
@@ -609,11 +611,14 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     from ..runtime.params import save_checkpoint
     from .synth import BOOT_CHARS, cer, random_text, synth_utterance
 
+    from .synth import UnitPool
+
     rng = np.random.default_rng(seed)
     tok = CharTokenizer()
     n = int(seconds * 16000)
     t_lfr = -(-features.num_frames(n) // LFR_N)
     max_chars = 10
+    pool = UnitPool(seed=seed + 77)
 
     def sample_batch(gen):
         audios = np.zeros((batch, n), np.float32)
@@ -622,7 +627,7 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
         for b in range(batch):
             text = random_text(gen, 2, max_chars)
             snr = float(gen.uniform(12, 35)) if gen.random() < 0.5 else None
-            audio, _ = synth_utterance(text, gen, noise_snr_db=snr)
+            audio, _ = pool.utterance(text, gen, noise_snr_db=snr)
             audios[b, : min(len(audio), n)] = audio[:n]
             enc = tok.encode(text)
             ids[b, : len(enc)] = enc
@@ -645,8 +650,8 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     cmvn_mean = (-mu).astype(np.float32)  # FunASR stores negative means
     cmvn_istd = (1.0 / sd).astype(np.float32)
 
-    model = Paraformer(vocab_size=len(tok), dim=128, heads=4, ffn=512,
-                       enc_layers=4, dec_layers=2)
+    model = Paraformer(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
+                       enc_layers=enc_layers, dec_layers=dec_layers)
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros((1, t_lfr, 80 * LFR_M)),
                         jnp.ones((1, t_lfr)))
@@ -696,8 +701,8 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     import os
 
     save_checkpoint(checkpoint_dir, params, "Paraformer",
-                    dict(vocab_size=len(tok), dim=128, heads=4, ffn=512,
-                         enc_layers=4, dec_layers=2))
+                    dict(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
+                         enc_layers=enc_layers, dec_layers=dec_layers))
     tok.save(os.path.join(checkpoint_dir, "vocab.txt"))
     np.savez(os.path.join(checkpoint_dir, "cmvn.npz"),
              mean=cmvn_mean, istd=cmvn_istd)
