@@ -1,8 +1,9 @@
 """Mixed-precision policy for inference engines.
 
-On TPU v5e the MXU runs bf16 matmuls at ~8× the fp32 rate (measured
-413 vs 0.7 TFLOP/s on the MossFormer2 attention shapes — see
-ops/pallas/flash.py); every inference engine therefore computes in
+On TPU v5e the MXU runs bf16 matmuls at ~2× the fp32(=3-pass-bf16)
+rate and half the HBM traffic (RTT-amortized: the MossFormer2 grouped
+attention measures 1.03 ms bf16 vs 1.77 ms fp32 at production shapes —
+see ops/pallas/flash.py); every inference engine therefore computes in
 bf16 by default on TPU and fp32 elsewhere. Params are cast once at
 engine construction; inputs are cast at the jit boundary and outputs
 cast back to fp32, so callers never see bf16.
