@@ -268,9 +268,10 @@ class RestorationEngine:
         self.window = int(window_s * self.model.sr)
         self.hop = int(hop_s * self.model.sr)
         if params is None:
-            params = self.model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, self.model.win * 4))
-            )
+            # jitted init: eager complex dispatch is UNIMPLEMENTED
+            # on the axon TPU backend
+            params = jax.jit(lambda: self.model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, self.model.win * 4))))()
         self.params = params
         from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
 

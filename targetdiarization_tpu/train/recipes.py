@@ -417,7 +417,8 @@ def bootstrap_restorer(steps: int = 1500, batch: int = 8, seconds: float = 2.0,
     AudioProcessor.py:959-981, apollo.py:207; VERDICT.md round-1 item 4).
 
     Spectrum-domain training (Apollo return_spec=True) keeps gradients
-    out of rfft/irfft backward (unimplemented on the axon TPU runtime).
+    out of rfft/irfft backward (unimplemented on the axon TPU runtime);
+    init runs under jit for the same reason (eager complex dispatch).
     Loss = real/imag L1 + magnitude L1 (phase-robust level matching).
     Degradations model post-separation damage: additive noise, lowpass,
     clipping, spectral holes, level warble. Done-criterion: held-out
@@ -472,7 +473,11 @@ def bootstrap_restorer(steps: int = 1500, batch: int = 8, seconds: float = 2.0,
             ys.append(clean)
         return np.stack(xs), np.stack(ys)
 
-    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, n)))
+    # init must be jitted: Apollo's band arithmetic creates complex
+    # intermediates that the axon backend cannot dispatch eagerly
+    # (per-op UNIMPLEMENTED); under jit the whole init is one program
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(seed), jnp.zeros((1, n))))()
     sched = optax.warmup_cosine_decay_schedule(
         0.0, 1e-3, warmup_steps=min(100, steps // 10 + 1),
         decay_steps=max(steps, 2))
