@@ -98,19 +98,42 @@ def _flash_pallas(q, k, v, u, mask, interpret: bool = False):
     return out_v.reshape(b, n_groups, g, e), out_u.reshape(b, n_groups, g, e)
 
 
+@jax.custom_vjp
+def _flash_fused(q, k, v, u, mask):
+    """Pallas forward with a reference-formulation backward (pallas_call
+    has no automatic VJP; the jnp gradient is mathematically exact for
+    the same primal)."""
+    interpret = jax.default_backend() != "tpu"
+    return _flash_pallas(q, k, v, u, mask, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, u, mask):
+    return _flash_fused(q, k, v, u, mask), (q, k, v, u, mask)
+
+
+def _flash_bwd(res, grads):
+    q, k, v, u, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, u_: flash_group_attention_reference(
+            q_, k_, v_, u_, mask),
+        q, k, v, u)
+    dq, dk, dv, du = vjp(grads)
+    return dq, dk, dv, du, None
+
+
+_flash_fused.defvjp(_flash_fwd, _flash_bwd)
+
+
 def flash_group_attention(q, k, v, u, mask, use_pallas: bool | None = None):
     """Grouped relu² attention with shared A applied to V and U.
 
     q, k: (B, G, g, d); v, u: (B, G, g, e); mask: (B, G, 1, g).
     use_pallas: None = auto (Pallas on TPU, jnp elsewhere);
     True on non-TPU runs the kernel in interpreter mode (tests).
+    Differentiable either way (custom VJP via the reference formulation).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-        if not use_pallas:
-            return flash_group_attention_reference(q, k, v, u, mask)
-        return _flash_pallas(q, k, v, u, mask, interpret=False)
     if use_pallas:
-        interpret = jax.default_backend() != "tpu"
-        return _flash_pallas(q, k, v, u, mask, interpret=interpret)
+        return _flash_fused(q, k, v, u, mask)
     return flash_group_attention_reference(q, k, v, u, mask)

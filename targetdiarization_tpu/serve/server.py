@@ -101,6 +101,7 @@ def build_model(config=None):
         "restoration_model": os.path.join(repo, "checkpoints", "rest-bootstrap"),
         "asr_model": os.path.join(repo, "checkpoints", "asr-bootstrap"),
         "punc_model": os.path.join(repo, "checkpoints", "punc-bootstrap"),
+        "emotion_model": os.path.join(repo, "checkpoints", "emo-bootstrap"),
     }
     for field, path in defaults.items():
         if not getattr(cfg, field) and os.path.exists(path):

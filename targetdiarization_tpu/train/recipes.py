@@ -867,3 +867,123 @@ def bootstrap_punc(steps: int = 800, batch: int = 32,
     }
     log_fn(f"punc bootstrap: {metrics}")
     return metrics
+
+
+def bootstrap_emotion(steps: int = 800, batch: int = 16, seconds: float = 2.0,
+                      checkpoint_dir: str = "checkpoints/emo-bootstrap",
+                      seed: int = 0, log_fn=print, eval_utts: int = 120) -> dict:
+    """Train EmotionNet on prosody-transformed fixture speech.
+
+    No emotion2vec weights exist in this environment (reference
+    ASRProcessor.py:277-284), so supervision comes from deterministic
+    prosody transforms of the fixture voices — the acoustic correlates
+    each class name implies (pitch register, level, modulation):
+
+      neutral    unchanged
+      happy      pitch up ~20%
+      sad        pitch down ~20%, −6 dB
+      angry      +9 dB with hard clipping
+      fearful    6 Hz tremolo
+      surprised  strong upward pitch + rising gain ramp
+
+    This makes the engine's label output deterministic and evaluable
+    (held-out transform accuracy), not a claim of human-emotion parity —
+    the same contract/caveat as the other synthetic bootstraps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import features
+    from ..models.emotion import EMOTION_LABELS, EmotionNet
+    from ..ops.resample import resample_poly_np
+    from ..runtime.params import save_checkpoint
+
+    rng = np.random.default_rng(seed)
+    voices = [_load_fixture("chat_mix.wav"), _load_fixture("female_a.wav")]
+    sr = 16000
+    n = int(seconds * sr)
+    t_frames = features.num_frames(n)
+
+    def pitch(x, factor):
+        # resample-based shift (duration change is part of the prosody)
+        y = resample_poly_np(x, int(sr / factor), sr)
+        y = y[:n]
+        return np.pad(y, (0, n - len(y)))
+
+    classes = ["neutral", "happy", "sad", "angry", "fearful", "surprised"]
+    cls_ids = np.array([EMOTION_LABELS.index(c) for c in classes])
+
+    def transform(x, cls, gen):
+        if cls == "neutral":
+            return x
+        if cls == "happy":
+            return pitch(x, gen.uniform(1.15, 1.3))
+        if cls == "sad":
+            return pitch(x, gen.uniform(0.75, 0.87)) * 0.5
+        if cls == "angry":
+            return np.clip(x * gen.uniform(2.5, 3.5), -0.5, 0.5)
+        if cls == "fearful":
+            t = np.arange(n) / sr
+            f = gen.uniform(5.0, 8.0)
+            return x * (1.0 + 0.6 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        ramp = np.linspace(0.3, 1.8, n).astype(np.float32)
+        return pitch(x, gen.uniform(1.25, 1.4)) * ramp  # surprised
+
+    def sample(gen):
+        src = voices[int(gen.integers(len(voices)))]
+        start = int(gen.integers(0, max(len(src) - n, 1)))
+        x = src[start: start + n]
+        x = np.pad(x, (0, n - len(x)))
+        ci = int(gen.integers(len(classes)))
+        return transform(x, classes[ci], gen).astype(np.float32), ci
+
+    def sample_batch(gen):
+        xs, ys = zip(*(sample(gen) for _ in range(batch)))
+        return np.stack(xs), np.array(ys, np.int32)
+
+    model = EmotionNet()
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, t_frames, 80)), jnp.array([t_frames]))
+    opt = optax.adamw(1e-3, weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, audio, labels):
+        def loss_fn(p):
+            feats = features.fbank(audio)
+            logits = model.apply(p, feats,
+                                 jnp.full((audio.shape[0],), t_frames))
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tgt = jnp.asarray(cls_ids)[labels]
+            return -jnp.mean(jnp.take_along_axis(logp, tgt[:, None], 1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        audio, labels = sample_batch(rng)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(audio), jnp.asarray(labels))
+        if (i + 1) % max(steps // 5, 1) == 0:
+            log_fn(f"emo step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    save_checkpoint(checkpoint_dir, params, "EmotionNet", {})
+
+    from ..models.emotion import EmotionEngine
+
+    eng = EmotionEngine(params=params)
+    gen = np.random.default_rng(seed + 999)
+    correct = 0
+    for _ in range(eval_utts):
+        x, ci = sample(gen)
+        out = eng.emotion_detection(x)
+        top = out["labels"][int(np.argmax(out["scores"]))]
+        correct += int(top == classes[ci])
+    metrics = {
+        "final_loss": float(loss),
+        "eval_accuracy": correct / max(eval_utts, 1),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"emotion bootstrap: {metrics}")
+    return metrics

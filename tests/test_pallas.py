@@ -127,3 +127,29 @@ def test_dwconv_pallas_grad_matches_jnp(rng):
     for a, b in zip(gp, gj):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_flash_kernel_grad_matches_reference(rng):
+    """The Pallas forward's custom VJP must equal the jnp gradient."""
+    import jax
+
+    b, G, g, d, e = 1, 2, 32, 16, 32
+    q = jnp.asarray(rng.standard_normal((b, G, g, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, G, g, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, G, g, e)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, G, g, e)), jnp.float32)
+    mask = jnp.ones((b, G, 1, g))
+
+    def loss_p(q, k, v, u):
+        ov, ou = flash_group_attention(q, k, v, u, mask, use_pallas=True)
+        return jnp.sum(ov * 0.1) + jnp.sum(jnp.square(ou) * 0.01)
+
+    def loss_r(q, k, v, u):
+        ov, ou = flash_group_attention_reference(q, k, v, u, mask)
+        return jnp.sum(ov * 0.1) + jnp.sum(jnp.square(ou) * 0.01)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, u)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, u)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3)
