@@ -330,6 +330,101 @@ class FusedFrontend:
         }
 
 
+class StreamChunkAnalyzer:
+    """ONE device program per streaming chunk decision.
+
+    The flush cascade (streaming.should_wait_for_next_chunk, reference
+    TargetDiarizationStream.py:110-171) needs, per 1 s chunk: VAD
+    probabilities of the whole buffer AND of the last chunk (R2-R4),
+    plus prev-buffer/chunk speaker embeddings for the speaker-change
+    rule (R5). Round 1 ran these as two dispatches (frame_probs_batch +
+    embed_batch); this program computes all four outputs plus the cosine
+    in one dispatch — the per-chunk p50 floor becomes one tunnel RTT."""
+
+    CHUNK_SAMPLES = 16000  # 1 s design point (demo.html:1236)
+
+    def __init__(self, vad, spk):
+        self.vad = vad
+        self.spk = spk
+        self._cache: dict = {}
+
+    def _build(self, bucket: int):
+        from ..runtime.precision import cast_inputs, f32
+
+        vad_eng, spk_eng = self.vad, self.spk
+        cs = self.CHUNK_SAMPLES
+
+        def fn(vad_p, spk_p, comb_i16, n_comb, chunk_i16, n_chunk):
+            comb = comb_i16.astype(jnp.float32) / 32768.0  # (bucket,)
+            chunk = chunk_i16.astype(jnp.float32) / 32768.0  # (cs,)
+            nf_comb = FusedFrontend._n_frames(n_comb)
+            nf_chunk = FusedFrontend._n_frames(n_chunk)
+            feats_c = features.fbank(comb[None])  # (1, Tc, 80)
+            feats_k = features.fbank(chunk[None])  # (1, Tk, 80)
+            (fc,) = cast_inputs(vad_eng.compute_dtype, feats_c)
+            (fk,) = cast_inputs(vad_eng.compute_dtype, feats_k)
+            probs_c = f32(jax.nn.softmax(
+                vad_eng.model.apply(vad_p, fc, nf_comb[None]), -1)[0, :, 1])
+            probs_k = f32(jax.nn.softmax(
+                vad_eng.model.apply(vad_p, fk, nf_chunk[None]), -1)[0, :, 1])
+
+            # embeddings: prev = combined minus the last chunk (prefix),
+            # cur = the chunk — both as prefix-masked forwards
+            n_prev = jnp.maximum(n_comb - n_chunk, 0)
+            nf_prev = FusedFrontend._n_frames(n_prev)
+
+            def embed(feats, nf, spk_p):
+                t = feats.shape[1]
+                m = (jnp.arange(t)[None, :, None] < nf[None, None, None]
+                     ).astype(jnp.float32)
+                mean = jnp.sum(feats * m, axis=1, keepdims=True) / jnp.maximum(
+                    jnp.sum(m, axis=1, keepdims=True), 1.0)
+                fn_ = (feats - mean) * m
+                (fc_,) = cast_inputs(spk_eng.compute_dtype, fn_)
+                return f32(spk_eng.model.apply(spk_p, fc_, nf[None],
+                                               train=False))[0]
+
+            emb_prev = embed(feats_c, nf_prev, spk_p)
+            emb_chunk = embed(feats_k, nf_chunk, spk_p)
+            nprev = jnp.linalg.norm(emb_prev)
+            nchunk = jnp.linalg.norm(emb_chunk)
+            cos = jnp.where(
+                (nprev > 0) & (nchunk > 0),
+                jnp.dot(emb_prev, emb_chunk) / jnp.maximum(nprev * nchunk, 1e-9),
+                0.0)
+            return {"probs_comb": probs_c, "probs_chunk": probs_k,
+                    "similarity": cos}
+
+        return jax.jit(fn)
+
+    def analyze_chunk(self, combined: np.ndarray, chunk: np.ndarray) -> dict:
+        """→ {'probs_comb', 'probs_chunk', 'similarity'} in one dispatch."""
+        from ..runtime.precision import quantize_i16
+
+        combined = np.asarray(combined, np.float32)
+        chunk = np.asarray(chunk, np.float32)[-self.CHUNK_SAMPLES:]
+        top = _LADDER.rungs[-1]
+        combined = combined[-top:]
+        bucket = _LADDER.bucket(max(len(combined), 1))
+        if bucket not in self._cache:
+            self._cache[bucket] = self._build(bucket)
+        fn = self._cache[bucket]
+        with trace("fused/stream_chunk"):
+            host = jax.device_get(fn(
+                self.vad._params_c, self.spk._params_c,
+                jnp.asarray(pad_to(quantize_i16(combined), bucket)),
+                jnp.asarray(len(combined)),
+                jnp.asarray(pad_to(quantize_i16(chunk), self.CHUNK_SAMPLES)),
+                jnp.asarray(len(chunk))))
+        tc = features.num_frames(len(combined))
+        tk = features.num_frames(len(chunk))
+        return {
+            "probs_comb": host["probs_comb"][:tc],
+            "probs_chunk": host["probs_chunk"][:tk],
+            "similarity": float(host["similarity"]),
+        }
+
+
 class FusedASR:
     """Masked multi-speaker ASR (+ in-graph punctuation) on the
     device-resident analyze audio.

@@ -57,6 +57,15 @@ class TargetDiarizationStream(TargetDiarization):
                  max_buffer_duration: float = 30.0,
                  loudness_diff_threshold: float = 12.0, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        self._stream_analyzer = None
+        try:
+            from .fused import StreamChunkAnalyzer
+
+            if self.tasr.asrp.vad is not None:
+                self._stream_analyzer = StreamChunkAnalyzer(
+                    self.tasr.asrp.vad, self.tasr.spk)
+        except Exception as e:
+            self._log(f"stream analyzer unavailable: {e}")
         self.is_vad_buffer = is_vad_buffer
         self.use_asr_prompt = use_asr_prompt
         self.similarity_threshold = similarity_threshold
@@ -168,11 +177,23 @@ class TargetDiarizationStream(TargetDiarization):
         if not state.vad_buffer:
             return True
         combined = np.concatenate(state.vad_buffer)
-        # whole-buffer VAD (silero's role) + last-chunk VAD in ONE device
-        # dispatch; their different gap configs only affect the host-side
-        # segmenting state machine, so probabilities are shared
+        # whole-buffer VAD (silero's role) + last-chunk VAD + prev/chunk
+        # speaker embeddings for R5 in ONE device dispatch
+        # (pipeline/fused.py StreamChunkAnalyzer); the different gap
+        # configs only affect the host-side segmenting state machine
         vad = self.tasr.asrp.vad
-        if vad is not None:
+        similarity = None
+        if vad is not None and self._stream_analyzer is not None:
+            from ..models.vad import VADConfig, segment_probs
+
+            fr = self._stream_analyzer.analyze_chunk(
+                combined, state.vad_buffer[-1])
+            buffer_vad = segment_probs(
+                fr["probs_comb"], VADConfig(max_end_silence_time=0.1),
+                fps=100.0)
+            chunk_vad = segment_probs(fr["probs_chunk"], VADConfig(), fps=100.0)
+            similarity = fr["similarity"]
+        elif vad is not None:
             from ..models.vad import VADConfig, segment_probs
 
             probs_pair = vad.frame_probs_batch(
@@ -200,11 +221,12 @@ class TargetDiarizationStream(TargetDiarization):
             return False
         # R5: speaker change
         if len(state.vad_buffer) > 1:
-            prev_audio = np.concatenate(state.vad_buffer[:-1])
-            embs = self.tasr.spk.embed_batch(
-                [prev_audio, state.vad_buffer[-1]])
-            if not self.tasr.is_same_person(
-                    embs[0], embs[1], threshold=self.similarity_threshold):
+            if similarity is None:
+                prev_audio = np.concatenate(state.vad_buffer[:-1])
+                embs = self.tasr.spk.embed_batch(
+                    [prev_audio, state.vad_buffer[-1]])
+                similarity = self.tasr.cosine_similarity(embs[0], embs[1])
+            if similarity < self.similarity_threshold:
                 self._log("Different speaker detected, processing")
                 return False
             return True

@@ -61,12 +61,14 @@ class TestFlushRules:
         state.vad_buffer = [np.ones(16000, np.float32) * 0.1]
         state.buffer_duration = 1.0
 
-        def fake_probs(clips, sr=16000):
+        def fake_analyze(combined, chunk):
             # no speech anywhere: zero probability tracks
-            return [np.zeros(len(c) // 160, np.float32) for c in clips]
+            return {"probs_comb": np.zeros(len(combined) // 160, np.float32),
+                    "probs_chunk": np.zeros(len(chunk) // 160, np.float32),
+                    "similarity": 1.0}
 
-        monkeypatch.setattr(stream_pipeline.tasr.asrp.vad,
-                            "frame_probs_batch", fake_probs)
+        monkeypatch.setattr(stream_pipeline._stream_analyzer,
+                            "analyze_chunk", fake_analyze)
         assert stream_pipeline.should_wait_for_next_chunk(state) is True
         # chunk was replaced by near-silence
         assert np.all(state.vad_buffer[-1] == np.float32(1e-5))
@@ -76,17 +78,19 @@ class TestFlushRules:
         state.vad_buffer = [np.ones(32000, np.float32) * 0.1]
         state.buffer_duration = 2.0
 
-        def fake_probs(clips, sr=16000):
-            # speech ends at 1.0 s in each clip → trailing gap ≥ 0.3
-            out = []
-            for c in clips:
-                p = np.zeros(len(c) // 160, np.float32)
+        def fake_analyze(combined, chunk):
+            # speech ends at 1.0 s → trailing gap ≥ 0.3
+            def track(n):
+                p = np.zeros(n // 160, np.float32)
                 p[: min(100, len(p))] = 1.0
-                out.append(p)
-            return out
+                return p
 
-        monkeypatch.setattr(stream_pipeline.tasr.asrp.vad,
-                            "frame_probs_batch", fake_probs)
+            return {"probs_comb": track(len(combined)),
+                    "probs_chunk": track(len(chunk)),
+                    "similarity": 1.0}
+
+        monkeypatch.setattr(stream_pipeline._stream_analyzer,
+                            "analyze_chunk", fake_analyze)
         assert stream_pipeline.should_wait_for_next_chunk(state) is False
 
     def test_r5_speaker_change_flush(self, stream_pipeline, monkeypatch):
@@ -95,15 +99,34 @@ class TestFlushRules:
                             np.ones(16000, np.float32) * 0.1]
         state.buffer_duration = 2.0
 
+        def fake_analyze(combined, chunk):
+            # speech to the very end; orthogonal prev/chunk speakers
+            return {"probs_comb": np.ones(len(combined) // 160, np.float32),
+                    "probs_chunk": np.ones(len(chunk) // 160, np.float32),
+                    "similarity": 0.0}
+
+        monkeypatch.setattr(stream_pipeline._stream_analyzer,
+                            "analyze_chunk", fake_analyze)
+        assert stream_pipeline.should_wait_for_next_chunk(state) is False
+
+    def test_flush_rules_fallback_without_analyzer(self, stream_pipeline,
+                                                   monkeypatch):
+        """The legacy two-dispatch path still drives the cascade when the
+        fused analyzer is unavailable."""
+        monkeypatch.setattr(stream_pipeline, "_stream_analyzer", None)
+        state = StreamState()
+        state.vad_buffer = [np.ones(16000, np.float32) * 0.1,
+                            np.ones(16000, np.float32) * 0.1]
+        state.buffer_duration = 2.0
+
         def fake_probs(clips, sr=16000):
-            # speech to the very end of every clip
             return [np.ones(len(c) // 160, np.float32) for c in clips]
 
         monkeypatch.setattr(stream_pipeline.tasr.asrp.vad,
                             "frame_probs_batch", fake_probs)
         monkeypatch.setattr(
             stream_pipeline.tasr.spk, "embed_batch",
-            lambda clips, sr=16000: np.eye(2, 192, dtype=np.float32))  # orthogonal
+            lambda clips, sr=16000: np.eye(2, 192, dtype=np.float32))
         assert stream_pipeline.should_wait_for_next_chunk(state) is False
 
 
