@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Measure all five BASELINE.json configs on the real device.
+
+1. FSMN-VAD + sliding embeddings on chat_mix (fused analyze)
+2. Target verification: female_a enrolled, scored vs chat_mix segments
+3. Separation (+restoration when shipped) on an overlap-length clip
+4. Full offline infer (the driver's bench.py metric — repeated here)
+5. 8 concurrent streaming sessions, p50/p90 per-chunk latency
+
+Usage: python examples/bench_configs.py  (plain python, real TPU)
+"""
+
+import contextlib
+import io
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+WAV = "/root/reference/assets/chat_mix.wav"
+TARGET = "/root/reference/assets/female_a.wav"
+
+
+def best_of(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import bench
+
+    bench.enable_compile_cache()
+    from targetdiarization_tpu.utils.audio_io import read_audio
+
+    audio, sr = read_audio(WAV)
+    audio = np.asarray(audio)
+    target, _ = read_audio(TARGET)
+    target = np.asarray(target)
+    dur = len(audio) / sr
+    out = {}
+
+    with contextlib.redirect_stdout(sys.stderr):
+        td = bench.build_pipeline(fast=False)
+        # warmup all paths once
+        td.infer(WAV, target_file=TARGET, output_target_audio=False)
+
+        # config 1: fused analyze (preprocess+VAD+seg+sliding embeddings)
+        t = best_of(lambda: td.fused.analyze(audio, sr=sr))
+        out["c1_vad_embed_s"] = round(t, 4)
+        out["c1_rtfx"] = round(dur / t, 1)
+
+        # config 2: enrollment + per-speaker verification scoring
+        td._enroll_cache.clear()
+
+        def c2():
+            td._enroll_cache.clear()
+            emb = td._enroll_target(TARGET, sr)
+            fr = td.fused.analyze(audio, sr=sr)
+            sd = td._segmentation_sd(fr["audio"], 16000, fr)
+            td.target_embedding_to_target_spk(emb, fr["audio"], 16000, sd,
+                                              [], fr=fr)
+
+        t = best_of(c2)
+        out["c2_verify_s"] = round(t, 4)
+
+        # config 3: separation (+restoration if shipped) on a 4 s clip
+        clip = audio[: 4 * sr]
+        sep = td.ap.separator
+
+        def c3():
+            s1, s2 = td.ap.separate_speaker(clip, sr)
+            if td.ap.is_restore_audio:
+                td.ap.restore_audio(s1, sr)
+
+        if sep is not None:
+            c3()
+            t = best_of(c3, n=2)
+            out["c3_separate_restore_s"] = round(t, 4)
+            out["c3_rtfx"] = round(4.0 / t, 1)
+
+        # config 4: full infer
+        t = best_of(lambda: td.infer(WAV, target_file=TARGET,
+                                     output_target_audio=False))
+        out["c4_infer_s"] = round(t, 4)
+        out["c4_rtfx"] = round(dur / t, 1)
+
+        # config 5: 8 concurrent streaming sessions (thread pool), per-chunk
+        # latency percentiles across all sessions
+        from concurrent.futures import ThreadPoolExecutor
+
+        from targetdiarization_tpu.serve.server import build_model
+
+        model = build_model()
+        chunks = [audio[i: i + sr] for i in range(0, len(audio), sr)]
+        lat: list = []
+
+        def run_session(_):
+            times = []
+
+            def gen():
+                for c in chunks:
+                    t0 = time.perf_counter()
+                    yield c
+                    times.append(time.perf_counter() - t0)
+
+            for _ in model.infer_stream(gen()):
+                pass
+            return times
+
+        # warmup one session
+        run_session(0)
+        lat.clear()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for times in ex.map(run_session, range(8)):
+                lat.extend(times)
+        lat_ms = sorted(t * 1000 for t in lat)
+        out["c5_chunk_p50_ms"] = round(lat_ms[len(lat_ms) // 2], 1)
+        out["c5_chunk_p90_ms"] = round(lat_ms[int(len(lat_ms) * 0.9)], 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

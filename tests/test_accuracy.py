@@ -109,3 +109,31 @@ class TestGoldenSnapshot:
             assert got["type"] == want["type"]
             assert abs(got["timerange"][0] - want["timerange"][0]) <= 0.3
             assert abs(got["timerange"][1] - want["timerange"][1]) <= 0.3
+
+
+class TestPipelineCER:
+    """End-to-end transcription accuracy on the synthetic language the
+    shipped asr-bootstrap was trained for (held-out utterances)."""
+
+    def test_single_speaker_cer(self):
+        if not (REPO / "checkpoints" / "asr-bootstrap").exists():
+            pytest.skip("asr-bootstrap not present")
+        from targetdiarization_tpu.serve.server import build_model
+        from targetdiarization_tpu.train.synth import (
+            cer, random_text, synth_utterance)
+
+        model = build_model()
+        gen = np.random.default_rng(20260817)
+        cers = []
+        for _ in range(5):
+            text = random_text(gen, 4, 10)
+            audio, _ = synth_utterance(text, gen)
+            _, results, _ = model.infer(audio, is_single=True,
+                                        output_target_audio=False)
+            hyp = "".join(r["text"] for r in results)
+            hyp = "".join(c for c in hyp if c not in "，。？、！ ")
+            cers.append(cer(text, hyp))
+        mean_cer = float(np.mean(cers))
+        # full-pipeline ceiling: preprocess (denoise/loudness) perturbs
+        # the audio vs the recipe's clean eval (CER 0.063)
+        assert mean_cer < 0.40, f"pipeline CER {mean_cer}: {cers}"
