@@ -425,6 +425,127 @@ class StreamChunkAnalyzer:
         }
 
 
+class FusedSeparation:
+    """Overlap-clip separation + per-stream scoring in ONE dispatch.
+
+    The overlap branch (TargetASR.multi_speakers_separate_batch,
+    reference TargetASR.py:571-656) needs, per clip: the two separated
+    streams, a speaker embedding of each (target scoring), VAD segments
+    of each (timerange trimming), and optionally Apollo restoration.
+    Round 1 ran these as three dispatches + full-stream transfers; this
+    program runs MossFormer2 → (Apollo) → fbank → VAD probs + embeddings
+    in-graph and ships int16 streams + small tensors once. Clips bucket
+    on a sample ladder instead of always padding to the full 10 s
+    separation window."""
+
+    LADDER = BucketLadder((32000, 64000, 96000, 160000))
+    N_LADDER = BucketLadder((1, 2, 4))
+
+    def __init__(self, sep, spk, vad=None, restorer=None):
+        self.sep = sep
+        self.spk = spk
+        self.vad = vad
+        # in-graph restore only when the restorer operates natively at 16 k
+        self.restorer = restorer if (restorer is not None and
+                                     getattr(restorer.model, "sr", 0) == 16000
+                                     ) else None
+        self._cache: dict = {}
+
+    def _build(self, bucket: int, nb: int):
+        from ..runtime.precision import cast_inputs, f32
+
+        sep_eng, spk_eng, vad_eng, rest_eng = (
+            self.sep, self.spk, self.vad, self.restorer)
+
+        def fn(sep_p, spk_p, vad_p, rest_p, clips_i16, lengths):
+            wav = clips_i16.astype(jnp.float32) / 32768.0  # (nb, bucket)
+            (wav_c,) = cast_inputs(sep_eng.compute_dtype, wav)
+            est = sep_eng.model.apply(sep_p, wav_c, lengths,
+                                      deterministic=True)
+            est = est.astype(jnp.float32)  # (nb, 2, bucket)
+            streams = est.reshape(nb * 2, bucket)
+            out_streams = streams
+            if rest_eng is not None:
+                (st_c,) = cast_inputs(rest_eng.compute_dtype, streams)
+                out_streams = f32(rest_eng.model.apply(rest_p, st_c))
+            # embeddings + VAD on the PRE-restore streams (legacy
+            # semantics: scoring/trimming on raw separation output)
+            nf = FusedFrontend._n_frames(jnp.repeat(lengths, 2))
+            feats = features.fbank(streams)  # (2nb, T, 80)
+            t = feats.shape[1]
+            m = (jnp.arange(t)[None, :, None] < nf[:, None, None]).astype(
+                jnp.float32)
+            mean = jnp.sum(feats * m, axis=1, keepdims=True) / jnp.maximum(
+                jnp.sum(m, axis=1, keepdims=True), 1.0)
+            feats_n = (feats - mean) * m
+            (fe,) = cast_inputs(spk_eng.compute_dtype, feats_n)
+            embs = f32(spk_eng.model.apply(spk_p, fe, nf, train=False))
+            out = {
+                "streams_i16": jnp.clip(
+                    jnp.round(out_streams * 32768.0), -32768, 32767
+                ).astype(jnp.int16).reshape(nb, 2, bucket),
+                "embs": embs.reshape(nb, 2, -1),
+            }
+            if vad_eng is not None:
+                (fv,) = cast_inputs(vad_eng.compute_dtype, feats)
+                probs = f32(jax.nn.softmax(
+                    vad_eng.model.apply(vad_p, fv, nf), -1)[..., 1])
+                out["vad_probs"] = probs.reshape(nb, 2, -1)
+            return out
+
+        return jax.jit(fn)
+
+    def separate_score(self, clips: list, sr: int = 16000) -> list:
+        """→ per clip {'streams': (2, n) f32, 'embs': (2, 192),
+        'vads': [segments, segments]} in one dispatch."""
+        from ..models.vad import VADConfig, segment_probs
+        from ..ops.resample import resample_poly_np
+        from ..runtime.precision import quantize_i16
+
+        clips = [np.asarray(c, np.float32) for c in clips]
+        if sr != 16000:
+            clips = [resample_poly_np(c, 16000, sr) for c in clips]
+        top = self.LADDER.rungs[-1]
+        if not clips or any(len(c) > top or len(c) == 0 for c in clips):
+            return None  # caller falls back to the windowed path
+        bucket = self.LADDER.bucket(max(len(c) for c in clips))
+        nb = self.N_LADDER.bucket(len(clips)) if len(clips) <= \
+            self.N_LADDER.rungs[-1] else None
+        if nb is None:
+            return None
+        key = (bucket, nb)
+        if key not in self._cache:
+            self._cache[key] = self._build(bucket, nb)
+        fn = self._cache[key]
+        batch = np.zeros((nb, bucket), np.int16)
+        lengths = np.full(nb, 1, np.int32)
+        for i, c in enumerate(clips):
+            batch[i, : len(c)] = quantize_i16(c)
+            lengths[i] = len(c)
+        rest_p = self.restorer._params_c if self.restorer is not None else None
+        vad_p = self.vad._params_c if self.vad is not None else None
+        with trace("fused/separate"):
+            host = jax.device_get(fn(
+                self.sep._params_c, self.spk._params_c, vad_p, rest_p,
+                jnp.asarray(batch), jnp.asarray(lengths)))
+        out = []
+        for i, c in enumerate(clips):
+            n = len(c)
+            streams = host["streams_i16"][i, :, :n].astype(np.float32) / 32768.0
+            t = features.num_frames(n)
+            if "vad_probs" in host:
+                vads = [segment_probs(host["vad_probs"][i, j, :t], VADConfig())
+                        for j in range(2)]
+                dur = n / 16000.0
+                vads = [[[max(0.0, s), min(dur, e)] for s, e in v]
+                        for v in vads]
+            else:
+                vads = [[[0.0, n / 16000.0]]] * 2
+            out.append({"streams": streams, "embs": host["embs"][i],
+                        "vads": vads})
+        return out
+
+
 class FusedASR:
     """Masked multi-speaker ASR (+ in-graph punctuation) on the
     device-resident analyze audio.

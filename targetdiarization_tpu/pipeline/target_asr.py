@@ -248,16 +248,35 @@ class TargetASR:
         dispatch per bucket, ONE VAD dispatch — instead of 3 dispatches
         per clip. Returns a per-clip list of result entries (same schema,
         audio included, no ASR text)."""
-        if self.ap.separator is None:
-            # soft degradation mirrors separate_speaker: input twice
-            seps = [np.stack([np.asarray(c, np.float32)] * 2) for c in clips]
+        fused_res = None
+        if self.ap.separator is not None:
+            fused = self._fused_separation()
+            if fused is not None:
+                try:
+                    fused_res = fused.separate_score(clips, sr=sr)
+                except Exception as e:
+                    print(f"fused separation failed, per-engine fallback: {e}")
+                    fused_res = None
+        already_restored = False
+        if fused_res is not None:
+            # ONE dispatch produced streams + embeddings + VAD
+            # (+ in-graph restoration when the restorer is 16 k-native)
+            already_restored = self._fused_separation().restorer is not None
+            seps = [r["streams"] for r in fused_res]
+            embs = [e for r in fused_res for e in r["embs"]]
+            vads = [v for r in fused_res for v in r["vads"]]
         else:
-            seps = self.ap.separator.separate_batch(clips, sr=sr)
-        streams = [s for pair in seps for s in (pair[0], pair[1])]
-        embs = self.spk.embed_batch(streams, sr=sr)
-        vads = (self.asrp.vad_detection_batch(streams, sr)
-                if self.asrp.vad is not None
-                else [[[0.0, len(s) / sr]] for s in streams])
+            if self.ap.separator is None:
+                # soft degradation mirrors separate_speaker: input twice
+                seps = [np.stack([np.asarray(c, np.float32)] * 2)
+                        for c in clips]
+            else:
+                seps = self.ap.separator.separate_batch(clips, sr=sr)
+            streams = [s for pair in seps for s in (pair[0], pair[1])]
+            embs = self.spk.embed_batch(streams, sr=sr)
+            vads = (self.asrp.vad_detection_batch(streams, sr)
+                    if self.asrp.vad is not None
+                    else [[[0.0, len(s) / sr]] for s in streams])
         out = []
         for ci in range(len(clips)):
             s1, s2 = seps[ci][0], seps[ci][1]
@@ -277,7 +296,7 @@ class TargetASR:
             for score, audio, sub_vad in ordered:
                 if not sub_vad:
                     continue
-                if self.ap.is_restore_audio:
+                if self.ap.is_restore_audio and not already_restored:
                     audio = self.ap.restore_audio(audio, sr)
                 entries.append(self._entry(
                     [sub_vad[0][0], sub_vad[-1][1]], "", score, sr, audio))
@@ -395,6 +414,20 @@ class TargetASR:
         return result
 
     # ---------------- internals ----------------
+
+    def _fused_separation(self):
+        """Lazily-built FusedSeparation over the live engines (one
+        dispatch for separate+embed+VAD+restore on overlap clips)."""
+        if getattr(self, "_fused_sep", None) is None:
+            try:
+                from .fused import FusedSeparation
+
+                self._fused_sep = FusedSeparation(
+                    sep=self.ap.separator, spk=self.spk,
+                    vad=self.asrp.vad, restorer=self.ap.restorer)
+            except Exception:
+                self._fused_sep = None
+        return self._fused_sep
 
     def _more(self, more_args: dict | None) -> dict:
         more = {"vad_model": "funasr", "asr_engine": None, "preprocess": [],

@@ -150,3 +150,69 @@ class TestPunctuationBatch:
         singles = [eng.punctuation_restore(t) for t in texts]
         # same bucket → identical logits; different bucket → padding only
         assert batch == singles
+
+
+class TestFusedSeparation:
+    def test_one_dispatch_matches_legacy_path(self, chat_mix):
+        from targetdiarization_tpu.models.separation import (
+            MossFormer2, SeparationEngine)
+        from targetdiarization_tpu.models.speaker import SpeakerEngine
+        from targetdiarization_tpu.models.vad import VADEngine
+        from targetdiarization_tpu.pipeline.fused import FusedSeparation
+
+        sep = SeparationEngine(model=MossFormer2(
+            dim=32, enc_channels=32, num_blocks=1, group_size=32, qk_dim=16,
+            fsmn_inner=32), seed=0)
+        spk = SpeakerEngine(model_name="eres2net", seed=1)
+        vad = VADEngine(seed=2)
+        fused = FusedSeparation(sep=sep, spk=spk, vad=vad)
+        audio, sr = chat_mix
+        clips = [np.asarray(audio[: 2 * sr]), np.asarray(audio[2 * sr: 5 * sr])]
+        res = fused.separate_score(clips, sr=sr)
+        assert res is not None and len(res) == 2
+        for r, c in zip(res, clips):
+            assert r["streams"].shape == (2, len(c))
+            assert r["embs"].shape == (2, 192)
+            assert len(r["vads"]) == 2
+        # streams must match the engine's own separation (same model,
+        # modulo the int16 round-trip and bucket padding)
+        legacy = sep.separate_batch([clips[0]], sr=sr)[0]
+        got = res[0]["streams"]
+        # loudness ordering may differ: compare best assignment
+        def corr(a, b):
+            a = a - a.mean(); b = b - b.mean()
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        direct = (corr(got[0], legacy[0]) + corr(got[1], legacy[1])) / 2
+        swapped = (corr(got[0], legacy[1]) + corr(got[1], legacy[0])) / 2
+        assert max(direct, swapped) > 0.8, (direct, swapped)
+
+    def test_multi_speakers_separate_batch_uses_fused(self, chat_mix,
+                                                      monkeypatch):
+        from targetdiarization_tpu.models.separation import (
+            MossFormer2, SeparationEngine)
+        from targetdiarization_tpu.pipeline.target_asr import TargetASR
+        from targetdiarization_tpu.processors.audio import AudioProcessor
+
+        ap = AudioProcessor()
+        ap.separator = SeparationEngine(model=MossFormer2(
+            dim=32, enc_channels=32, num_blocks=1, group_size=32, qk_dim=16,
+            fsmn_inner=32), seed=0)
+        tasr = TargetASR(audio_processor=ap)
+        audio, sr = chat_mix
+        target_emb = np.ones(192, np.float32)
+        calls = {"fused": 0}
+        fused = tasr._fused_separation()
+        orig = fused.separate_score
+
+        def spy(*a, **k):
+            calls["fused"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(fused, "separate_score", spy)
+        out = tasr.multi_speakers_separate_batch(
+            [np.asarray(audio[: 2 * sr])], target_emb, sr=sr)
+        assert calls["fused"] == 1
+        assert len(out) == 1
+        for entry in out[0]:
+            assert set(entry) == {"timerange", "text", "score",
+                                  "sampling_rate", "audio"}
