@@ -26,10 +26,12 @@ FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
 REFERENCE_JSON = FIXTURES / "chat_mix_reference.json"
 GOLDEN_JSON = FIXTURES / "chat_mix_golden.json"
 
-# Ceiling for the shipped bootstrap checkpoints (measured 0.43 with the
-# round-2 set). The driver target is parity within 1% of the reference —
-# that needs reference-scale training data; this guards regressions.
-DER_CEILING = 0.50
+# Ceiling for the shipped bootstrap checkpoints (measured 0.166 after
+# the 256-dim/12-block separator + eres2netv2_large speaker upgrade;
+# was 0.43 with the first round-2 set). The driver target is parity
+# within 1% of the reference — that needs reference-scale training
+# data; this guards regressions.
+DER_CEILING = 0.25
 
 
 @pytest.fixture(scope="module")
