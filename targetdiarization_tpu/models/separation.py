@@ -466,7 +466,14 @@ class SeparationEngine:
         small = [i for i, c in enumerate(work) if 0 < len(c) <= win]
         out: list = [None] * len(clips)
         if small:
-            batch = np.stack([np.pad(work[i], (0, win - len(work[i])))
+            # bucket the pad length instead of always paying the full
+            # window: a 3 s overlap clip runs a 4 s program, not 10 s
+            from ..runtime.buckets import BucketLadder
+
+            ladder = BucketLadder(tuple(
+                b for b in (32000, 64000, 96000, win) if b <= win))
+            bucket = ladder.bucket(max(len(work[i]) for i in small))
+            batch = np.stack([np.pad(work[i], (0, bucket - len(work[i])))
                               for i in small])
             lengths = np.array([len(work[i]) for i in small])
             with trace("audio/separate_batch"):
