@@ -325,7 +325,13 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
     from ..runtime.params import save_checkpoint
 
     rng = np.random.default_rng(seed)
-    voices = [_load_fixture("chat_mix.wav"), _load_fixture("female_a.wav")]
+    # DISTINCT pseudo-speaker pools (pitch-shifted fixture voices), one
+    # per slot: chat_mix itself is a two-speaker MIX, so using raw crops
+    # as single-voice slots polluted the supervision and produced
+    # phantom third speakers at inference (round-2 DER diagnosis)
+    pools = _pseudo_speakers()
+    # female-derived pools only: each is one single-voice waveform
+    pool_keys = sorted(k for k in pools if k.startswith("female"))
     n = int(seconds * 16000)
     t_frames = features.num_frames(n)
     model = SegmentationNet()
@@ -336,9 +342,9 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
         audio = np.zeros(n, np.float32)
         act = np.zeros((t_out, model.max_speakers), np.float32)
         n_spk = int(rng.integers(0, model.max_speakers + 1))
-        order = rng.permutation(len(voices))
+        order = rng.permutation(len(pool_keys))
         for slot in range(n_spk):
-            src = voices[order[slot % len(voices)]]
+            src = pools[pool_keys[order[slot % len(pool_keys)]]]
             dur = int(rng.uniform(0.5, seconds * 0.8) * 16000)
             dur = min(dur, len(src), n - 1)
             start = int(rng.integers(0, n - dur))
@@ -986,4 +992,110 @@ def bootstrap_emotion(steps: int = 800, batch: int = 16, seconds: float = 2.0,
         "checkpoint": checkpoint_dir,
     }
     log_fn(f"emotion bootstrap: {metrics}")
+    return metrics
+
+
+def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
+                      checkpoint_dir: str = "checkpoints/whisper-bootstrap",
+                      seed: int = 0, log_fn=print, eval_utts: int = 50,
+                      dim: int = 128, enc_layers: int = 3, dec_layers: int = 2,
+                      ffn: int = 512) -> dict:
+    """Train the Whisper-style enc-dec ASR on the synthetic language
+    (teacher-forced CE; greedy-decode CER on held-out utterances) —
+    fills the reference's whisper_v2/v3/finetune engine slots
+    (ASRProcessor.py:210-252) with evaluable weights."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import features
+    from ..models.tokenizer import CharTokenizer
+    from ..models.whisper_style import WhisperStyleASR, WhisperStyleEngine
+    from ..runtime.params import save_checkpoint
+    from .synth import UnitPool, cer, random_text, synth_utterance
+
+    rng = np.random.default_rng(seed)
+    tok = CharTokenizer()
+    sos, eos = tok.sos_id, tok.eos_id
+    n = int(seconds * 16000)
+    t_frames = features.num_frames(n)
+    max_chars = 10
+    u = max_chars + 2  # sos + chars + eos
+    pool = UnitPool(seed=seed + 177)
+
+    def sample_batch(gen):
+        audios = np.zeros((batch, n), np.float32)
+        tok_in = np.full((batch, u), eos, np.int32)
+        tgt = np.full((batch, u), eos, np.int32)
+        tgt_mask = np.zeros((batch, u), np.float32)
+        for b in range(batch):
+            text = random_text(gen, 2, max_chars)
+            snr = float(gen.uniform(12, 35)) if gen.random() < 0.5 else None
+            audio, _ = pool.utterance(text, gen, noise_snr_db=snr)
+            audios[b, : min(len(audio), n)] = audio[:n]
+            ids = tok.encode(text)
+            tok_in[b, 0] = sos
+            tok_in[b, 1: 1 + len(ids)] = ids
+            tgt[b, : len(ids)] = ids
+            tgt[b, len(ids)] = eos
+            tgt_mask[b, : len(ids) + 1] = 1.0
+        return audios, tok_in, tgt, tgt_mask
+
+    model = WhisperStyleASR(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
+                            enc_layers=enc_layers, dec_layers=dec_layers)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, t_frames, 80)),
+                        jnp.ones((1, t_frames)),
+                        jnp.zeros((1, u), jnp.int32))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 1e-3, warmup_steps=min(100, steps // 10 + 1),
+        decay_steps=max(steps, 2))
+    opt = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, audio, tok_in, tgt, tgt_mask):
+        def loss_fn(p):
+            feats = features.fbank(audio)
+            fmask = jnp.ones(feats.shape[:2], jnp.float32)
+            logits = model.apply(p, feats, fmask, tok_in)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            return jnp.sum(ce * tgt_mask) / jnp.maximum(jnp.sum(tgt_mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        audio, tok_in, tgt, tgt_mask = sample_batch(rng)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(audio), jnp.asarray(tok_in),
+            jnp.asarray(tgt), jnp.asarray(tgt_mask))
+        if (i + 1) % max(steps // 10, 1) == 0:
+            log_fn(f"whisper step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    import os
+
+    save_checkpoint(checkpoint_dir, params, "WhisperStyleASR",
+                    dict(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
+                         enc_layers=enc_layers, dec_layers=dec_layers))
+    tok.save(os.path.join(checkpoint_dir, "vocab.txt"))
+
+    eng = WhisperStyleEngine(params=params, model=model, tokenizer=tok,
+                             max_decode=max_chars + 2)
+    gen = np.random.default_rng(seed + 1)
+    cers = []
+    for _ in range(eval_utts):
+        text = random_text(gen, 2, max_chars)
+        audio, _ = synth_utterance(text, gen)
+        res = eng.asr_detection(audio)[0]
+        cers.append(cer(text, res["text"]))
+    metrics = {
+        "final_loss": float(loss),
+        "eval_cer": float(np.mean(cers)),
+        "eval_exact": float(np.mean([c == 0.0 for c in cers])),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"whisper bootstrap: {metrics}")
     return metrics
