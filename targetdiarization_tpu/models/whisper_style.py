@@ -93,7 +93,17 @@ class WhisperStyleASR(nn.Module):
         return self.decode(tokens, enc)
 
     def encode(self, feats, feat_mask):
-        # feats: (B, T, 80) log-mel at 10 ms
+        # feats: (B, T, 80) log-mel at 10 ms. Per-utterance masked
+        # mean/var normalization (the CMVN slot): raw log-mel magnitudes
+        # (~0..18) drown the positional encodings and stall training —
+        # the round-2 whisper bootstrap plateaued at the unigram prior
+        # (CE ≈ 3.0) without this.
+        m = feat_mask[..., None]
+        denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(feats * m, axis=1, keepdims=True) / denom
+        var = jnp.sum(jnp.square(feats - mean) * m, axis=1,
+                      keepdims=True) / denom
+        feats = (feats - mean) * jax.lax.rsqrt(var + 1e-5) * m
         x = nn.gelu(self.conv1(feats))
         x = nn.gelu(self.conv2(x))
         t = x.shape[1]
