@@ -29,8 +29,13 @@ class DecoderBlock(nn.Module):
     ffn: int = 1024
 
     @nn.compact
-    def __call__(self, x, enc, self_mask):
+    def __call__(self, x, enc, self_mask, enc_mask=None):
         # x: (B, T, D) decoder states; enc: (B, S, D); self_mask: (B,1,T,T)
+        # enc_mask: (B,1,1,S) — cross-attention MUST mask padded encoder
+        # frames: training on exact-length batches never sees padding,
+        # so unmasked inference on bucketed audio dumps attention mass
+        # onto the zeroed pad frames (the round-2 whisper-decode bug:
+        # greedy output was input-independent gibberish)
         h = nn.LayerNorm(name="ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim, name="self_attn"
@@ -39,7 +44,7 @@ class DecoderBlock(nn.Module):
         h = nn.LayerNorm(name="ln2")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim, name="cross_attn"
-        )(h, enc)
+        )(h, enc, mask=enc_mask)
         x = x + h
         h = nn.LayerNorm(name="ln3")(x)
         h = nn.Dense(self.ffn, name="ff1")(h)
@@ -90,7 +95,12 @@ class WhisperStyleASR(nn.Module):
     def __call__(self, feats, feat_mask, tokens):
         """Teacher-forced forward: tokens (B, U) → logits (B, U, V)."""
         enc = self.encode(feats, feat_mask)
-        return self.decode(tokens, enc)
+        return self.decode(tokens, enc, self.enc_mask(feat_mask, enc.shape[1]))
+
+    @staticmethod
+    def enc_mask(feat_mask, s):
+        m2 = feat_mask[:, ::2][:, :s]
+        return (m2[:, None, None, :] > 0)
 
     def encode(self, feats, feat_mask):
         # feats: (B, T, 80) log-mel at 10 ms. Per-utterance masked
@@ -119,13 +129,13 @@ class WhisperStyleASR(nn.Module):
             x = x + self.enc_ff2[i](h)
         return self.enc_out_ln(x) * m2[..., None]
 
-    def decode(self, tokens, enc):
+    def decode(self, tokens, enc, enc_mask=None):
         u = tokens.shape[1]
         x = self.tok_embed(tokens)
         x = x + self.dec_pos[None, :u]
         causal = jnp.tril(jnp.ones((u, u), bool))[None, None]
         for blk in self.dec_blocks:
-            x = blk(x, enc, causal)
+            x = blk(x, enc, causal, enc_mask)
         return self.vocab_proj(self.dec_out_ln(x))
 
 
@@ -163,11 +173,12 @@ class WhisperStyleEngine:
             fmask = (jnp.arange(t)[None, :] < n_frames[:, None]).astype(
                 jnp.float32)
             enc = self.model.apply(p, feats_c, fmask, method=WhisperStyleASR.encode)
+            enc_mask = WhisperStyleASR.enc_mask(fmask, enc.shape[1])
 
             def step(carry, _):
                 toks, done = carry  # (B, U+1), (B,)
                 logits = self.model.apply(
-                    p, toks, enc, method=WhisperStyleASR.decode)
+                    p, toks, enc, enc_mask, method=WhisperStyleASR.decode)
                 # position of the next token = count of filled slots − 1
                 nxt = jnp.argmax(logits, axis=-1)  # (B, U+1)
                 return (toks, done), nxt
@@ -182,7 +193,7 @@ class WhisperStyleEngine:
             def body(i, state):
                 toks, done = state
                 logits = self.model.apply(
-                    p, toks, enc, method=WhisperStyleASR.decode)
+                    p, toks, enc, enc_mask, method=WhisperStyleASR.decode)
                 nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
                 nxt = jnp.where(done, eos, nxt)
                 toks = toks.at[:, i + 1].set(nxt)
