@@ -99,7 +99,10 @@ def build_model(config=None):
         "segmentation_model": os.path.join(repo, "checkpoints", "seg-bootstrap"),
         "denoise_model": os.path.join(repo, "checkpoints", "den-bootstrap"),
         "restoration_model": os.path.join(repo, "checkpoints", "rest-bootstrap"),
-        "asr_model": os.path.join(repo, "checkpoints", "asr-bootstrap"),
+        "asr_model": os.path.join(
+            repo, "checkpoints",
+            "whisper-bootstrap" if str(cfg.asr_engine).startswith("whisper")
+            else "asr-bootstrap"),
         "punc_model": os.path.join(repo, "checkpoints", "punc-bootstrap"),
         "emotion_model": os.path.join(repo, "checkpoints", "emo-bootstrap"),
     }
