@@ -325,13 +325,15 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
     from ..runtime.params import save_checkpoint
 
     rng = np.random.default_rng(seed)
-    # Slot sources: pitch-shifted female pools (distinct single voices)
-    # PLUS raw chat_mix crops. Pure-female slots were tried and scored
-    # WORSE on the chat_mix DER harness (0.275 vs 0.166) — the 1.9 s
-    # single fixture voice doesn't cover the real conversational voices;
-    # chat crops keep that coverage even though a crop can carry both
-    # speakers in one slot.
-    pools = _pseudo_speakers()
+    # Slot sources: the two raw fixture waveforms. Two alternatives were
+    # trained and DER-gated on the chat_mix harness and both lost —
+    # pure pitch-shifted-female slots (0.275) and the full pseudo-speaker
+    # pool mix (0.452) vs 0.166 for this configuration. The 1.9 s single
+    # fixture voice doesn't cover the real conversational voices, and
+    # pitch-shifted variants blur the slot identities; raw crops keep
+    # voice coverage even though a chat crop can carry both speakers.
+    pools = {"chat": _load_fixture("chat_mix.wav"),
+             "female": _load_fixture("female_a.wav")}
     pool_keys = sorted(pools)
     n = int(seconds * 16000)
     t_frames = features.num_frames(n)
