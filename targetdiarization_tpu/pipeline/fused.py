@@ -4,8 +4,8 @@ The round-1 pipeline ran one jitted program per engine per stage —
 preprocess, denoise, VAD, segmentation, enrollment, per-speaker
 embedding — each paying a host-link round trip (~30 ms through the TPU
 tunnel) and np round-tripping the audio between stages. This module
-collapses the front half into TWO programs (VERDICT.md round-1 item 2:
-"fewer, bigger jitted programs", reference call stack
+collapses whole pipeline PHASES into single programs (VERDICT.md
+round-1 item 2: "fewer, bigger jitted programs", reference call stack
 TargetDiarization.py:98-163):
 
 `FusedFrontend.analyze` — ONE dispatch per inference:
@@ -23,8 +23,22 @@ dispatches of `target_embedding_to_target_spk`
     (jnp.roll + prefix length, exactly the reference's VAD trim
     TargetDiarization.py:118-121) → masked-CMN embedding.
 
+`StreamChunkAnalyzer` — ONE dispatch per streaming chunk decision
+    (buffer VAD + chunk VAD + prev/chunk embeddings + similarity for
+    the R1-R5 flush cascade).
+
+`FusedSeparation` — ONE dispatch per overlap batch (MossFormer2 →
+    optional in-graph Apollo restore → VAD + embeddings of both
+    streams).
+
+`FusedASR` — ONE dispatch for all speakers' combined-track ASR +
+    punctuation, on the analyze program's device-resident audio buffer
+    (tracks are interval masks — nothing re-uploads).
+
 All programs are bucketed (static shapes per rung) and transfer audio as
-int16 — half the bytes of f32 through a ~35 MB/s tunnel link.
+int16 — half the bytes of f32 through a ~35 MB/s tunnel link. Offline
+infer = 2 dispatches total; measured 82.7× real-time on one v5e through
+a ~28 ms-RTT tunnel (19× in round 1).
 """
 
 from __future__ import annotations
