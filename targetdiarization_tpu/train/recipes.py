@@ -678,15 +678,20 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
         audios = np.zeros((batch, n), np.float32)
         ids = np.zeros((batch, max_chars), np.int32)
         n_chars = np.zeros(batch, np.int32)
+        n_lfr = np.ones(batch, np.int32)
         for b in range(batch):
             text = random_text(gen, 2, max_chars)
             snr = float(gen.uniform(12, 35)) if gen.random() < 0.5 else None
             audio, _ = pool.utterance(text, gen, noise_snr_db=snr)
             audios[b, : min(len(audio), n)] = audio[:n]
+            # true LFR frame count — the same padded-bucket mask
+            # inference uses (train/infer mask parity)
+            n_lfr[b] = max(
+                -(-features.num_frames(min(len(audio), n)) // LFR_N), 1)
             enc = tok.encode(text)
             ids[b, : len(enc)] = enc
             n_chars[b] = len(enc)
-        return audios, ids, n_chars
+        return audios, ids, n_chars, n_lfr
 
     # corpus CMVN over LFR features (FunASR am.mvn slot)
     feat_fn = jax.jit(lambda a: features.lfr(features.fbank(a), LFR_M, LFR_N))
@@ -694,7 +699,7 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     s2 = np.zeros(80 * LFR_M, np.float64)
     cnt = 0
     for _ in range(4):
-        audios, _, _ = sample_batch(rng)
+        audios, _, _, _ = sample_batch(rng)
         f = np.asarray(feat_fn(jnp.asarray(audios)))
         s1 += f.sum(axis=(0, 1))
         s2 += (f ** 2).sum(axis=(0, 1))
@@ -717,11 +722,13 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     mean_j, istd_j = jnp.asarray(cmvn_mean), jnp.asarray(cmvn_istd)
 
     @jax.jit
-    def step_fn(params, opt_state, audio, ids, n_chars):
+    def step_fn(params, opt_state, audio, ids, n_chars, n_lfr):
         def loss_fn(p):
             feats = features.lfr(features.fbank(audio), LFR_M, LFR_N)
             feats = features.apply_cmvn(feats, mean_j, istd_j)
-            mask = jnp.ones(feats.shape[:2], jnp.float32)
+            t = feats.shape[1]
+            mask = (jnp.arange(t)[None, :] < n_lfr[:, None]).astype(
+                jnp.float32)
             out = model.apply(p, feats, mask,
                               target_len=n_chars.astype(jnp.float32))
             logp = jax.nn.log_softmax(out["logits"], axis=-1)  # (B, U, V)
@@ -744,10 +751,10 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
         return optax.apply_updates(params, updates), opt_state, loss, ce, qty
 
     for i in range(steps):
-        audios, ids, n_chars = sample_batch(rng)
+        audios, ids, n_chars, n_lfr = sample_batch(rng)
         params, opt_state, loss, ce_v, qty_v = step_fn(
             params, opt_state, jnp.asarray(audios), jnp.asarray(ids),
-            jnp.asarray(n_chars))
+            jnp.asarray(n_chars), jnp.asarray(n_lfr))
         if (i + 1) % max(steps // 10, 1) == 0:
             log_fn(f"asr step {i + 1}/{steps}: loss={float(loss):.4f} "
                    f"ce={float(ce_v):.4f} qty={float(qty_v):.4f}")
