@@ -26,7 +26,6 @@ on device (argmax before transfer), and CIF uses a parallel closed form
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import flax.linen as nn
 import jax

@@ -273,7 +273,7 @@ class RestorationEngine:
             params = jax.jit(lambda: self.model.init(
                 jax.random.PRNGKey(seed), jnp.zeros((1, self.model.win * 4))))()
         self.params = params
-        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+        from ..runtime.precision import resolve_compute_dtype, cast_params, f32
 
         self.compute_dtype = resolve_compute_dtype(compute_dtype)
         self._params_c = cast_params(params, self.compute_dtype)

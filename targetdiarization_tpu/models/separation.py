@@ -425,7 +425,7 @@ class SeparationEngine:
                 jax.random.PRNGKey(seed), jnp.zeros((1, max(k * g, 1600)))
             )
         self.params = params
-        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs, f32
+        from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs
 
         self.compute_dtype = resolve_compute_dtype(compute_dtype)
         self._params_c = cast_params(params, self.compute_dtype)

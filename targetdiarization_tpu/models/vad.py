@@ -20,7 +20,7 @@ speech padding, then min-clip merging and max-clip splitting
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 import flax.linen as nn
 import jax

@@ -159,7 +159,7 @@ class WhisperStyleEngine:
                 jnp.zeros((1, 4), jnp.int32))
         self.params = params
         from ..runtime.precision import (
-            cast_inputs, cast_params, f32, resolve_compute_dtype)
+            cast_inputs, cast_params, resolve_compute_dtype)
 
         self.compute_dtype = resolve_compute_dtype(compute_dtype)
         self._params_c = cast_params(params, self.compute_dtype)
