@@ -175,6 +175,18 @@ def apply_od_result(sd_result: dict, od_result: dict | None = None):
     """
     if not od_result:
         return sd_result, []
+    # normalize: key order ('2-0' ≡ '0-2') and overlapping ranges within
+    # one pair collapse — multi-slot segmentation can emit two near-equal
+    # regions for the same speaker pair, which otherwise become duplicate
+    # overlap segments in the final result
+    normalized: dict = {}
+    for pair_key, ranges in od_result.items():
+        key = "-".join(sorted(pair_key.split("-")))
+        normalized.setdefault(key, []).extend(ranges)
+    od_result = {
+        k: [tuple(r) for r in merge_timeranges(sorted(v))]
+        for k, v in normalized.items()
+    }
     refined: dict = {}
     overlap_regions: list = []
     all_overlap: list = []
