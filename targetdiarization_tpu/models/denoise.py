@@ -151,6 +151,42 @@ def spectral_gate(
     return istft(spec * mask, n_fft, hop, length=n)
 
 
+def denoise_chain_16k(eng: "DenoiseEngine", dn_params, audio: jnp.ndarray,
+                      bucket: int) -> jnp.ndarray:
+    """The full denoise_vocal chain in-graph for a (bucket,)-sample 16 kHz
+    buffer: 16k→44.1k MXU resample, stereo duplicate, MDX STFT chunking,
+    U-Net forward, iSTFT, margin trim, inst-model subtraction, downmix,
+    44.1k→16k (reference AudioProcessor.py:601-710). Used by the fused
+    frontend's preprocess graph and by training-time preprocess
+    augmentation (recipes.bootstrap_asr aug_frac)."""
+    from ..ops.resample import resample
+    from ..ops.stft import frame_signal
+    from ..runtime.precision import cast_inputs, f32
+
+    hop = eng.hop
+    n44 = -(-bucket * 441 // 160)
+    x44 = resample(audio, 44100, 16000)  # (n44,)
+    stereo = jnp.stack([x44, x44])  # (2, n44)
+    trim = N_FFT // 2
+    cs = mdx_chunk_size(hop)
+    gen = cs - 2 * trim
+    n_chunks = -(-n44 // gen)
+    padded = jnp.pad(stereo, ((0, 0), (trim, n_chunks * gen - n44 + trim)))
+    waves = frame_signal(padded, cs, gen)  # (2, n_chunks, cs)
+    waves = jnp.swapaxes(waves, 0, 1)  # (W, 2, cs)
+    spec = mdx_stft(waves, hop)
+    (spec_c,) = cast_inputs(eng.compute_dtype, spec)
+    pred = f32(eng.model.apply(dn_params, spec_c))
+    wav = mdx_istft(pred, hop)  # (W, 2, cs)
+    inner = wav[:, :, trim:-trim]  # (W, 2, gen)
+    out44 = jnp.swapaxes(inner, 0, 1).reshape(2, -1)[:, :n44]
+    vocals = jnp.clip(stereo - out44, -1.0, 1.0) if eng.is_inst_model \
+        else jnp.clip(out44, -1.0, 1.0)
+    mono = jnp.mean(vocals, axis=0)
+    out = resample(mono, 16000, 44100)
+    return out[:bucket]
+
+
 # ---------------- engine ----------------
 
 

@@ -117,34 +117,9 @@ class FusedFrontend:
             from ..models.denoise import spectral_gate
 
             return spectral_gate(audio)
-        from ..models.denoise import N_FFT, mdx_chunk_size, mdx_istft, mdx_stft
-        from ..ops.resample import resample
-        from ..ops.stft import frame_signal
-        from ..runtime.precision import cast_inputs, f32
+        from ..models.denoise import denoise_chain_16k
 
-        eng = self.denoiser
-        hop = eng.hop
-        n44 = -(-bucket * 441 // 160)
-        x44 = resample(audio, 44100, 16000)  # (n44,)
-        stereo = jnp.stack([x44, x44])  # (2, n44)
-        trim = N_FFT // 2
-        cs = mdx_chunk_size(hop)
-        gen = cs - 2 * trim
-        n_chunks = -(-n44 // gen)
-        padded = jnp.pad(stereo, ((0, 0), (trim, n_chunks * gen - n44 + trim)))
-        waves = frame_signal(padded, cs, gen)  # (2, n_chunks, cs)
-        waves = jnp.swapaxes(waves, 0, 1)  # (W, 2, cs)
-        spec = mdx_stft(waves, hop)
-        (spec_c,) = cast_inputs(eng.compute_dtype, spec)
-        pred = f32(eng.model.apply(dn_params, spec_c))
-        wav = mdx_istft(pred, hop)  # (W, 2, cs)
-        inner = wav[:, :, trim:-trim]  # (W, 2, gen)
-        out44 = jnp.swapaxes(inner, 0, 1).reshape(2, -1)[:, :n44]
-        vocals = jnp.clip(stereo - out44, -1.0, 1.0) if eng.is_inst_model \
-            else jnp.clip(out44, -1.0, 1.0)
-        mono = jnp.mean(vocals, axis=0)
-        out = resample(mono, 16000, 44100)
-        return out[:bucket]
+        return denoise_chain_16k(self.denoiser, dn_params, audio, bucket)
 
     def _preprocess_graph(self, dn_params, audio_i16, n_valid, bucket: int):
         """→ (audio_f32, audio_i16): the downloaded int16 track and the
