@@ -102,7 +102,15 @@ def _flash_pallas(q, k, v, u, mask, interpret: bool = False):
 def _flash_fused(q, k, v, u, mask):
     """Pallas forward with a reference-formulation backward (pallas_call
     has no automatic VJP; the jnp gradient is mathematically exact for
-    the same primal)."""
+    the same primal).
+
+    Precision note: with bf16 inputs the forward downcasts the attention
+    matrix to bf16 before the V/U matmuls and stores bf16 outputs (half
+    the HBM traffic; measured speed tie with f32 attn at 1.03 vs
+    1.05 ms), while the backward recomputes gradients from the f32
+    reference formulation — a small primal/backward numeric mismatch.
+    Acceptable for inference and for the bootstrap-scale training here;
+    pass f32 inputs (TD_COMPUTE_DTYPE=float32) to remove it."""
     interpret = jax.default_backend() != "tpu"
     return _flash_pallas(q, k, v, u, mask, interpret=interpret)
 

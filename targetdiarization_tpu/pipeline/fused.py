@@ -90,6 +90,12 @@ def _masked_loudness_normalize(audio, sr: int, n_valid, target_lufs: float = -23
     # too-short / silent input (no gated blocks): leave level unchanged,
     # mirroring audio_loudness_control's <0.4 s early-out
     gain = jnp.where(jnp.sum(rel_mask) > 0, gain, 1.0)
+    # true-peak guard: this graph round-trips through int16, which hard-
+    # clips at ±1.0 — limit the gain so quiet-but-peaky inputs that get
+    # large −23 LUFS boosts are attenuated, not clipped/distorted (the
+    # host path's f32 output is clipped later by quantize_i16 anyway)
+    peak = jnp.max(jnp.abs(audio)) + 1e-9
+    gain = jnp.minimum(gain, 1.0 / peak)
     return audio * gain
 
 
@@ -331,17 +337,19 @@ class StreamChunkAnalyzer:
     in one dispatch — the per-chunk p50 floor becomes one tunnel RTT."""
 
     CHUNK_SAMPLES = 16000  # 1 s design point (demo.html:1236)
+    # clients may stream larger chunks; bucket instead of truncating so
+    # no chunk samples get misattributed to 'prev' in the R5 similarity
+    CHUNK_LADDER = BucketLadder((16000, 32000, 64000, 160000))
 
     def __init__(self, vad, spk):
         self.vad = vad
         self.spk = spk
         self._cache: dict = {}
 
-    def _build(self, bucket: int):
+    def _build(self, bucket: int, cs: int):
         from ..runtime.precision import cast_inputs, f32
 
         vad_eng, spk_eng = self.vad, self.spk
-        cs = self.CHUNK_SAMPLES
 
         def fn(vad_p, spk_p, comb_i16, n_comb, chunk_i16, n_chunk):
             comb = comb_i16.astype(jnp.float32) / 32768.0  # (bucket,)
@@ -391,19 +399,22 @@ class StreamChunkAnalyzer:
         from ..runtime.precision import quantize_i16
 
         combined = np.asarray(combined, np.float32)
-        chunk = np.asarray(chunk, np.float32)[-self.CHUNK_SAMPLES:]
+        chunk = np.asarray(chunk, np.float32)
+        top = self.CHUNK_LADDER.rungs[-1]
+        chunk = chunk[-top:]
+        cs = self.CHUNK_LADDER.bucket(max(len(chunk), 1))
         top = _LADDER.rungs[-1]
         combined = combined[-top:]
         bucket = _LADDER.bucket(max(len(combined), 1))
-        if bucket not in self._cache:
-            self._cache[bucket] = self._build(bucket)
-        fn = self._cache[bucket]
+        if (bucket, cs) not in self._cache:
+            self._cache[(bucket, cs)] = self._build(bucket, cs)
+        fn = self._cache[(bucket, cs)]
         with trace("fused/stream_chunk"):
             host = jax.device_get(fn(
                 self.vad._params_c, self.spk._params_c,
                 jnp.asarray(pad_to(quantize_i16(combined), bucket)),
                 jnp.asarray(len(combined)),
-                jnp.asarray(pad_to(quantize_i16(chunk), self.CHUNK_SAMPLES)),
+                jnp.asarray(pad_to(quantize_i16(chunk), cs)),
                 jnp.asarray(len(chunk))))
         tc = features.num_frames(len(combined))
         tk = features.num_frames(len(chunk))
@@ -637,9 +648,12 @@ class FusedASR:
             chars, ts, pcls = [], [], []
             for j, tid in enumerate(ids):
                 name = tok.vocab[int(tid)]
-                if name in ("<blank>", "<s>", "</s>"):
+                if name in ("<blank>", "<s>", "</s>", "<unk>"):
+                    # skip <unk> entirely: offline.sd_result_to_asr_audio
+                    # re-splits with list(text), so chars/ts/pcls must
+                    # stay aligned with the emitted characters
                     continue
-                chars.append(name if name != "<unk>" else "")
+                chars.append(name)
                 if j < len(ts_all):
                     ts.append(ts_all[j])
                 if "punc_cls" in host:
