@@ -798,7 +798,11 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     sched = optax.warmup_cosine_decay_schedule(
         0.0, 1e-3, warmup_steps=min(100, steps // 10 + 1),
         decay_steps=max(steps, 2))
-    opt = optax.adamw(sched, weight_decay=1e-4)
+    # global-norm clip: the 256-dim/8-layer geometry diverged to NaN by
+    # step 3000 at peak lr 1e-3 without it (the round-2 160-dim runs
+    # never needed one)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(sched, weight_decay=1e-4))
     opt_state = opt.init(params)
     mean_j, istd_j = jnp.asarray(cmvn_mean), jnp.asarray(cmvn_istd)
 
@@ -840,6 +844,16 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
         audio, n_lfr = synth_graph(key, boot_idx, n_chars, dn_pp)
         return _step_impl(params, opt_state, audio, ids, n_chars, n_lfr)
 
+    import os
+
+    def _save_asr_ckpt():
+        save_checkpoint(checkpoint_dir, params, "Paraformer",
+                        dict(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
+                             enc_layers=enc_layers, dec_layers=dec_layers))
+        tok.save(os.path.join(checkpoint_dir, "vocab.txt"))
+        np.savez(os.path.join(checkpoint_dir, "cmvn.npz"),
+                 mean=cmvn_mean, istd=cmvn_istd)
+
     for i in range(steps):
         if device_synth:
             bi, ids, n_chars = sample_ids(rng)
@@ -851,18 +865,19 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
             params, opt_state, loss, ce_v, qty_v = step_fn(
                 params, opt_state, jnp.asarray(audios), jnp.asarray(ids),
                 jnp.asarray(n_chars), jnp.asarray(n_lfr))
-        if (i + 1) % max(steps // 10, 1) == 0:
-            log_fn(f"asr step {i + 1}/{steps}: loss={float(loss):.4f} "
+        if (i + 1) % max(min(steps // 10, 500), 1) == 0:
+            loss_v = float(loss)
+            log_fn(f"asr step {i + 1}/{steps}: loss={loss_v:.4f} "
                    f"ce={float(ce_v):.4f} qty={float(qty_v):.4f}")
+            if not np.isfinite(loss_v):
+                raise FloatingPointError(
+                    f"asr loss diverged to {loss_v} at step {i + 1}")
+        if (i + 1) % 2500 == 0 and (i + 1) < steps:
+            # periodic save: multi-hour TPU runs occasionally wedge;
+            # a mid-run checkpoint keeps the progress recoverable
+            _save_asr_ckpt()
 
-    import os
-
-    save_checkpoint(checkpoint_dir, params, "Paraformer",
-                    dict(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
-                         enc_layers=enc_layers, dec_layers=dec_layers))
-    tok.save(os.path.join(checkpoint_dir, "vocab.txt"))
-    np.savez(os.path.join(checkpoint_dir, "cmvn.npz"),
-             mean=cmvn_mean, istd=cmvn_istd)
+    _save_asr_ckpt()
 
     # held-out eval: CER + char-timestamp MAE (inference-time CIF, no
     # target_len oracle)
