@@ -199,13 +199,13 @@ class ASRProcessor:
     def asr_detection_api(self, audio_data: np.ndarray, sampling_rate: int,
                           engine: str, prompt: str = "",
                           language: str = "auto", transport=None) -> list:
-        """Cloud ASR (reference ASRProcessor.py:529-739). The `tencent`
-        engine speaks the real Flash-Recognition wire protocol natively
-        (processors/cloud_asr.py: canonical query, HMAC-SHA1 signing,
-        response parse) over an injectable transport — live urllib by
-        default, a mock in tests (this environment has no egress).
-        xunfei/gemini/jzx require vendor SDKs/streams and fail soft with
-        the reference's empty-result contract."""
+        """Cloud ASR (reference ASRProcessor.py:529-739). All four
+        engines — tencent/gemini/jzx (HTTP) and xunfei (WebSocket) —
+        speak their real wire protocols natively (processors/cloud_asr.py:
+        canonical query + HMAC signing, generateContent inline audio,
+        IAT framing) over injectable transports — live urllib by default
+        for HTTP, mocks in tests (this environment has no egress; xunfei
+        additionally needs an injected WS transport to go live)."""
         engine = engine.replace("_api", "").lower()
         creds = self.api_config.get(engine, {})
         if not creds:
@@ -237,9 +237,73 @@ class ASRProcessor:
             except Exception as e:
                 self._log(f"tencent failed: {e}")
                 return [{"text": "", "timestamp": [], "error": str(e)}]
-        self._log(f"{engine}: requires a vendor SDK unavailable here")
+        if engine == "gemini":
+            from .cloud_asr import GeminiASR, wav_bytes
+
+            try:
+                client = GeminiASR(
+                    api_key=creds.get("api_key", ""),
+                    base_url=creds.get("base_url", ""),
+                    model_id=creds.get("model_id", "gemini-2.5-flash"),
+                    transport=transport,
+                )
+                # reference language mapping (ASRProcessor.py:649-655)
+                asr_lang = {"zh": "zh-CN", "en": "en-US",
+                            "ja": "ja-JP"}.get(language, "zh-CN")
+                audio_lang = ("unknown" if language in ("", "auto")
+                              else asr_lang)
+                text = client.get_result(
+                    wav_bytes(audio_data, sampling_rate),
+                    audio_language=audio_lang, asr_language=asr_lang)
+                lang_out = (language if language not in ("", "auto")
+                            else self.detect_language(text))
+                return [{"text": text, "timestamp": [],
+                         "language": lang_out}]
+            except Exception as e:
+                self._log(f"gemini failed: {e}")
+                return [{"text": "", "timestamp": [], "error": str(e)}]
+        if engine == "jzx":
+            from .cloud_asr import JzxASR
+
+            try:
+                client = JzxASR(endpoint=creds.get("endpoint", ""),
+                                transport=transport)
+                pcm = np.clip(np.asarray(audio_data) * 32768.0,
+                              -32768, 32767).astype(np.int16).tobytes()
+                res = client.recognize(pcm, context=prompt)
+                lang_out = (language if language not in ("", "auto")
+                            else self.detect_language(res["text"]))
+                # reference emits (word, [start, end]) tuples
+                # (ASRProcessor.py:726-728)
+                return [{"text": res["text"], "timestamp": res["words"],
+                         "language": lang_out}]
+            except Exception as e:
+                self._log(f"jzx failed: {e}")
+                return [{"text": "", "timestamp": [], "error": str(e)}]
+        if engine == "xunfei":
+            from .cloud_asr import XunfeiIatASR
+
+            try:
+                client = XunfeiIatASR(
+                    appid=creds.get("appid", ""),
+                    api_key=creds.get("api_key", ""),
+                    api_secret=creds.get("api_secret", ""),
+                    transport=transport,
+                )
+                pcm = np.clip(np.asarray(audio_data) * 32768.0,
+                              -32768, 32767).astype(np.int16).tobytes()
+                lang = {"en": "en_us"}.get(language.lower(), "zh_cn")
+                text = client.get_result(pcm, language=lang, hotword=prompt)
+                lang_out = (language if language not in ("", "auto")
+                            else self.detect_language(text))
+                return [{"text": text, "timestamp": [],
+                         "language": lang_out}]
+            except Exception as e:
+                self._log(f"xunfei failed: {e}")
+                return [{"text": "", "timestamp": [], "error": str(e)}]
+        self._log(f"{engine}: unknown cloud ASR engine")
         return [{"text": "", "timestamp": [],
-                 "error": f"{engine} SDK unavailable"}]
+                 "error": f"unknown engine {engine}"}]
 
     # ---------------- punctuation / timestamps ----------------
 

@@ -800,9 +800,14 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
         decay_steps=max(steps, 2))
     # global-norm clip: the 256-dim/8-layer geometry diverged to NaN by
     # step 3000 at peak lr 1e-3 without it (the round-2 160-dim runs
-    # never needed one)
-    opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adamw(sched, weight_decay=1e-4))
+    # never needed one). apply_if_finite: a single poisoned batch (e.g. a
+    # rare bf16 overflow in the aug denoise chain) must skip its update
+    # instead of writing NaN into params for the rest of a multi-hour run
+    # — clip_by_global_norm alone turns one NaN grad into permanent NaN.
+    opt = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0),
+                    optax.adamw(sched, weight_decay=1e-4)),
+        max_consecutive_errors=25)
     opt_state = opt.init(params)
     mean_j, istd_j = jnp.asarray(cmvn_mean), jnp.asarray(cmvn_istd)
 
@@ -832,7 +837,9 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
         (loss, (ce, qty)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, ce, qty
+        diag = (jnp.all(jnp.isfinite(audio)), optax.global_norm(grads))
+        return (optax.apply_updates(params, updates), opt_state, loss, ce,
+                qty, diag)
 
     step_fn = jax.jit(_step_impl)
     base_key = jax.random.PRNGKey(seed + 31337)
@@ -854,24 +861,43 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
         np.savez(os.path.join(checkpoint_dir, "cmvn.npz"),
                  mean=cmvn_mean, istd=cmvn_istd)
 
+    nan_debug = os.environ.get("TD_ASR_NAN_DEBUG", "") == "1"
     for i in range(steps):
         if device_synth:
             bi, ids, n_chars = sample_ids(rng)
-            params, opt_state, loss, ce_v, qty_v = dev_step_fn(
+            params, opt_state, loss, ce_v, qty_v, diag = dev_step_fn(
                 params, opt_state, jnp.asarray(np.int32(i)), jnp.asarray(bi),
                 jnp.asarray(ids), jnp.asarray(n_chars), dn_p)
         else:
             audios, ids, n_chars, n_lfr = sample_batch(rng)
-            params, opt_state, loss, ce_v, qty_v = step_fn(
+            params, opt_state, loss, ce_v, qty_v, diag = step_fn(
                 params, opt_state, jnp.asarray(audios), jnp.asarray(ids),
                 jnp.asarray(n_chars), jnp.asarray(n_lfr))
+        if nan_debug and not np.isfinite(float(loss)):
+            # TD_ASR_NAN_DEBUG=1: per-step readback to pinpoint the first
+            # poisoned step and whether the data or the gradient went bad
+            raise FloatingPointError(
+                f"nan_debug: step {i}: loss={float(loss)} "
+                f"ce={float(ce_v)} qty={float(qty_v)} "
+                f"audio_finite={bool(diag[0])} grad_norm={float(diag[1])}")
         if (i + 1) % max(min(steps // 10, 500), 1) == 0:
             loss_v = float(loss)
+            skipped = int(opt_state.total_notfinite)
             log_fn(f"asr step {i + 1}/{steps}: loss={loss_v:.4f} "
-                   f"ce={float(ce_v):.4f} qty={float(qty_v):.4f}")
+                   f"ce={float(ce_v):.4f} qty={float(qty_v):.4f}"
+                   + (f" skipped={skipped}" if skipped else ""))
             if not np.isfinite(loss_v):
-                raise FloatingPointError(
-                    f"asr loss diverged to {loss_v} at step {i + 1}")
+                # with apply_if_finite a lone NaN batch only skips its
+                # update — fatal only once params themselves are broken
+                p_ok = bool(jax.jit(lambda p: jnp.all(jnp.asarray(
+                    [jnp.all(jnp.isfinite(x)) for x in
+                     jax.tree_util.tree_leaves(p)])))(params))
+                if not p_ok:
+                    raise FloatingPointError(
+                        f"asr params diverged to NaN by step {i + 1} "
+                        f"(total skipped updates: {skipped})")
+                log_fn(f"  non-finite batch at step {i + 1} skipped "
+                       f"(params still finite)")
         if (i + 1) % 2500 == 0 and (i + 1) < steps:
             # periodic save: multi-hour TPU runs occasionally wedge;
             # a mid-run checkpoint keeps the progress recoverable
