@@ -96,7 +96,13 @@ def render_batch(key, char_ids, n_chars, n_samples: int):
     fj = lo[..., None] + (hi - lo)[..., None] * j  # (B, C, J)
     shape = (jnp.exp(-(((fj - f1[..., None]) / (2 * BW)) ** 2))
              + 0.8 * jnp.exp(-(((fj - f2[..., None]) / (2 * BW)) ** 2)))
-    mag = shape * jax.random.rayleigh(k_na, 1.0, shape=(b, c, J_NOISE))
+    # Rayleigh magnitudes via sqrt(-2·log1p(-u)): jax.random.rayleigh
+    # computes log(u) with u ∈ [0,1), so u = 0 (p ≈ 1.2e-7/draw, and we
+    # draw b·c·J ≈ 41k per step → ~0.5% of steps) yields inf → NaN audio
+    # — the round-3 25k-step run died at step 744 from exactly this.
+    # 1-u ∈ (0,1] never hits log(0).
+    u_na = jax.random.uniform(k_na, (b, c, J_NOISE))
+    mag = shape * jnp.sqrt(-2.0 * jnp.log1p(-u_na))
     nph = jax.random.uniform(k_nph, (b, c, J_NOISE), maxval=2 * np.pi)
 
     def ncomp(carry, idx):

@@ -248,6 +248,36 @@ class TestPerceptualMetrics:
         assert all(a >= b for a, b in zip(scores, scores[1:])), scores
         assert scores[0] > 4.0 and scores[-1] < 3.0
 
+    def test_delay_estimator_accuracy(self):
+        from targetdiarization_tpu.train.perceptual import estimate_delay
+
+        x, sr = self._speech()
+        for d_ms in (-47, -10, 0, 12, 50):
+            d = int(sr * d_ms / 1000)
+            y = np.roll(x, d)
+            got = estimate_delay(x, y, sr)
+            assert abs(got - d) <= 2, (d_ms, d, got)
+
+    def test_pesq_invariant_under_misalignment(self):
+        """VERDICT r2 item 9: scores must survive ±50 ms misalignment
+        (reference wrapper.py:28-40 logs aligned P.862 values)."""
+        from targetdiarization_tpu.train.perceptual import pesq
+
+        x, sr = self._speech()
+        rng = np.random.default_rng(1)
+        noise = rng.standard_normal(len(x)).astype(np.float32)
+        n = noise * np.sqrt(np.mean(x**2) / np.mean(noise**2) * 10 ** (-2.0))
+        deg = x + n  # 20 dB SNR degraded copy
+        base = pesq(x, deg, sr)
+        for d_ms in (-50, -23, 17, 50):
+            d = int(sr * d_ms / 1000)
+            shifted = np.roll(deg, d)
+            got = pesq(x, shifted, sr)
+            assert abs(got - base) < 0.15, (d_ms, base, got)
+        # level changes must not fool the alignment either
+        got = pesq(x, np.roll(deg, int(sr * 0.03)) * 0.5, sr)
+        assert abs(got - base) < 0.2, (base, got)
+
     def test_tracker_logs_stoi_pesq(self, tmp_path):
         from targetdiarization_tpu.train.metrics import MetricsTracker
 
