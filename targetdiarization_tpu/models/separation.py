@@ -49,10 +49,14 @@ class ScaleNorm(nn.Module):
     def __call__(self, x):
         g = self.param("g", nn.initializers.ones, (1,))
         scale = x.shape[-1] ** -0.5
-        # sqrt(ss + eps²) instead of linalg.norm: the gradient of an L2
-        # norm at an all-zero row (padded frames) is 0/0 = NaN
+        # reference semantics: x / max(‖x‖·d^-½, eps) — written as
+        # sqrt(max(ss·scale², eps²)) which is identical AND NaN-free at
+        # all-zero rows (padded frames): in the clamped region max picks
+        # the constant, so the sqrt gradient is exactly 0, not 0/0
+        # (mossformer_block.py:44-54 clamp(min=eps))
         ss = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-        norm = jnp.sqrt(ss * (scale * scale) + self.eps * self.eps)
+        norm = jnp.sqrt(jnp.maximum(ss * (scale * scale),
+                                    self.eps * self.eps))
         return x / norm * g
 
 
@@ -90,13 +94,22 @@ def conv_module(x, kernel: int = 17, name: str = "dwconv"):
 
 
 class FFConvM(nn.Module):
-    """ScaleNorm → Dense → SiLU → depthwise ConvModule."""
+    """norm → Dense → SiLU → depthwise ConvModule.
+
+    The reference FLASH blocks pass ScaleNorm (mossformer_block.py:446-448)
+    while the gated-FSMN's to_u/to_v hardcode nn.LayerNorm
+    (mossformer_block.py:296-311) — `norm` selects which, so reference
+    checkpoints port 1:1."""
 
     dim_out: int
+    norm: str = "scalenorm"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = ScaleNorm(name="norm")(x)
+        if self.norm == "scalenorm":
+            x = ScaleNorm(name="norm")(x)
+        else:  # torch nn.LayerNorm default eps
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = nn.Dense(self.dim_out, name="proj")(x)
         x = nn.silu(x)
         x = conv_module(x)
@@ -271,13 +284,16 @@ class GatedFsmnBlock(nn.Module):
         h = nn.Dense(self.inner, name="conv1")(x)
         alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
         h = jnp.where(h >= 0, h, alpha * h)
-        h = nn.LayerNorm(name="norm1")(h)
+        # CLayerNorm == torch LayerNorm over channels, eps 1e-5
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(h)
         inp = h
-        u = FFConvM(self.inner, name="to_u")(h, deterministic)
-        vv = FFConvM(self.inner, name="to_v")(h, deterministic)
+        u = FFConvM(self.inner, norm="layernorm", name="to_u")(
+            h, deterministic)
+        vv = FFConvM(self.inner, norm="layernorm", name="to_v")(
+            h, deterministic)
         u = DilatedFsmn(self.inner, self.inner, name="fsmn")(u, mask)
         h = vv * u + inp
-        h = nn.LayerNorm(name="norm2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(h)
         h = nn.Dense(self.dim, name="conv2")(h)
         return (x + h) * mask[..., None]
 
@@ -305,6 +321,7 @@ class MaskNet(nn.Module):
         ang = jnp.arange(t)[:, None] * inv_freq[None, :]
         pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1) * scale
         h = h + pe[None]
+        h_in = h  # ComputationBlock skip_around_intra (mossformer2.py:380-385)
         for i in range(self.num_blocks):
             h = FlashBlock(
                 dim=self.dim,
@@ -313,7 +330,9 @@ class MaskNet(nn.Module):
                 name=f"flash_{i}",
             )(h, mask, deterministic)
             h = GatedFsmnBlock(dim=self.dim, inner=self.fsmn_inner, name=f"fsmn_{i}")(h, mask, deterministic)
-        h = nn.LayerNorm(epsilon=1e-6, name="out_ln")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="out_ln")(h)  # MossFormerM.norm
+        h = GlobalLayerNorm(self.dim, name="intra_norm")(h, mask)
+        h = h + h_in
         alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
         h = jnp.where(h >= 0, h, alpha * h)
         h = nn.Dense(self.dim * self.num_spks, name="spk_expand")(h)
@@ -413,9 +432,11 @@ class SeparationEngine:
     WINDOW = 160_000
 
     def __init__(self, params=None, model: MossFormer2 | None = None, seed: int = 0,
-                 window: int | None = None, compute_dtype: str | None = None):
+                 window: int | None = None, compute_dtype: str | None = None,
+                 mesh=None):
         self.model = model or MossFormer2()
         self.window = window or self.WINDOW
+        self.mesh = mesh
         if params is None:
             # example length: one attention group for MossFormer2-style
             # models, a fixed short window for other zoo separators
@@ -437,7 +458,33 @@ class SeparationEngine:
             # dominant transfer); a float32 request stays float32 end to end
             return est.astype(self.compute_dtype)
 
-        self._apply = jax.jit(_fwd)
+        if mesh is not None:
+            # multi-device inference: replicated params, batch sharded
+            # over the 1-D data axis — embarrassingly parallel, XLA
+            # inserts no collectives (SURVEY.md §2.4 plan b)
+            from ..parallel.mesh import batch_sharding, replicated
+
+            self._mesh_size = mesh.devices.size
+            self._apply = jax.jit(
+                _fwd,
+                in_shardings=(replicated(mesh), batch_sharding(mesh),
+                              batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            self._mesh_size = 1
+            self._apply = jax.jit(_fwd)
+
+    def _pad_rows(self, batch: np.ndarray, lengths: np.ndarray):
+        """Pad the batch row count to a mesh-size multiple (sharding
+        needs divisible leading dims); padded rows use length 1."""
+        rem = (-batch.shape[0]) % self._mesh_size
+        if rem == 0:
+            return batch, lengths, batch.shape[0]
+        n = batch.shape[0]
+        batch = np.pad(batch, ((0, rem),) + ((0, 0),) * (batch.ndim - 1))
+        lengths = np.concatenate([lengths, np.ones(rem, lengths.dtype)])
+        return batch, lengths, n
 
     @classmethod
     def from_pretrained(cls, path: str) -> "SeparationEngine":
@@ -476,10 +523,11 @@ class SeparationEngine:
             batch = np.stack([np.pad(work[i], (0, bucket - len(work[i])))
                               for i in small])
             lengths = np.array([len(work[i]) for i in small])
+            batch, lengths, n_real = self._pad_rows(batch, lengths)
             with trace("audio/separate_batch"):
                 est = np.asarray(self._apply(
                     self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
-                ).astype(np.float32)
+                ).astype(np.float32)[:n_real]
             for j, i in enumerate(small):
                 streams = est[j, :, : len(work[i])]
                 louds = [integrated_loudness_native(s, self.model.sample_rate)
@@ -518,9 +566,10 @@ class SeparationEngine:
         batch = padded.reshape(n_win, win)
         lengths = np.full(n_win, win, np.int64)
         lengths[-1] = n - (n_win - 1) * win if n % win else win
+        batch, lengths, n_real = self._pad_rows(batch, lengths)
         est = np.asarray(self._apply(
             self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
-        ).astype(np.float32)
+        ).astype(np.float32)[:n_real]
         # stitch windows back (non-overlapping concat, reference behavior)
         streams = est.transpose(1, 0, 2).reshape(self.model.num_spks, -1)[:, :n]
         # order by loudness, louder first (AudioProcessor.py:949-952);

@@ -1,0 +1,228 @@
+"""Per-architecture weight-port rules: reference torch state dicts → this
+framework's flax param trees (VERDICT r2 missing item 5).
+
+The reference loads its production separator from a torch checkpoint
+(look2hear/models/base_model.py:52-64); these converters make such a
+checkpoint loadable here. Each function maps the *exact* reference
+module names (verified against the reference source at tiny geometry in
+tests/test_convert.py, which diffs a full forward pass torch-vs-flax) to
+this framework's param paths, using the layout primitives from
+runtime/convert.py.
+
+MossFormer2 name map (reference → here), prefix
+`mask_net.mdl.intra_mdl.mossformerM` abbreviated MM:
+  enc.conv1d                      → encoder            (conv1d)
+  dec                             → decoder            (transposed conv)
+  mask_net.norm                   → mask_net/in_norm   (GroupNorm(1,C))
+  mask_net.conv1d_encoder         → mask_net/bottleneck (1×1 conv→Dense)
+  mask_net.pos_enc.scale          → mask_net/pos_scale
+  MM.layers.{i}.*                 → mask_net/flash_{i}/*
+  MM.fsmn.{i}.*                   → mask_net/fsmn_{i}/*
+  mask_net.mdl.intra_mdl.norm     → mask_net/out_ln    (LayerNorm 1e-6)
+  mask_net.mdl.intra_norm         → mask_net/intra_norm
+  mask_net.conv1d_out             → mask_net/spk_expand
+  mask_net.output.0 / output_gate.0 → mask_net/out_tanh / out_sig
+  mask_net.conv1_decoder          → mask_net/mask_proj
+  mask_net.prelu                  → mask_net/prelu
+Quirks:
+  - OffsetScale stores gamma directly; this framework stores gamma−1
+    (forward adds 1), so `os_gamma = gamma − 1`.
+  - DilatedDenseNet Conv2d (C·(j+1), C, (39,1), groups=C) → dwconv
+    kernel (39, j+1, C): squeeze the width-1 axis then conv1d transpose
+    (the grouped-channel assignment is identical, ops/dwconv.py).
+  - rotary freqs / pos_enc inv_freq are deterministic buffers — skipped.
+  - torch ConvTranspose1d weight (in, out, k) → flax ConvTranspose
+    kernel (k, in, out) with the spatial axis REVERSED: torch's
+    transposed conv is the gradient of correlation while
+    lax.conv_transpose(transpose_kernel=False) is a fractionally-strided
+    correlation (verified numerically in tests/test_convert.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .convert import convert_conv1d, convert_linear, convert_norm, to_numpy
+
+
+def _conv1x1_as_dense(weight, bias=None):
+    """torch Conv1d(.., kernel_size=1) → flax Dense params."""
+    w = to_numpy(weight)[..., 0]  # (O, I)
+    out = {"kernel": w.T}
+    if bias is not None:
+        out["bias"] = to_numpy(bias)
+    return out
+
+
+def convert_conv_transpose1d(weight, bias=None):
+    """torch ConvTranspose1d (in, out, k) → flax ConvTranspose kernel
+    (k, in, out), spatial axis reversed (see module docstring)."""
+    w = to_numpy(weight)
+    out = {"kernel": np.transpose(w, (2, 0, 1))[::-1].copy()}
+    if bias is not None:
+        out["bias"] = to_numpy(bias)
+    return out
+
+
+def _set(tree: dict, path: str, leaf):
+    node = tree
+    keys = path.split("/")
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = leaf
+
+
+def _group_weight_bias(state_dict: dict) -> dict:
+    groups: dict = {}
+    for key, tensor in state_dict.items():
+        stem, _, leaf = key.rpartition(".")
+        if leaf in ("weight", "bias", "g", "gamma", "beta", "scale",
+                    "freqs", "inv_freq"):
+            groups.setdefault(stem, {})[leaf] = tensor
+        else:
+            groups.setdefault(key, {})["weight"] = tensor
+    return groups
+
+
+def _ffconvm(tree, src_stem, dst_prefix, parts_by_stem, norm_kind):
+    """FFConvM: mdl.0 norm, mdl.1 linear, mdl.3 ConvModule dwconv."""
+    p0 = parts_by_stem[f"{src_stem}.mdl.0"]
+    if norm_kind == "scalenorm":
+        _set(tree, f"{dst_prefix}/norm/g", to_numpy(p0["g"]))
+    else:
+        conv = convert_norm(p0.get("weight"), p0.get("bias"))
+        _set(tree, f"{dst_prefix}/norm/scale", conv["scale"])
+        _set(tree, f"{dst_prefix}/norm/bias", conv["bias"])
+    p1 = parts_by_stem[f"{src_stem}.mdl.1"]
+    lin = convert_linear(p1["weight"], p1.get("bias"))
+    _set(tree, f"{dst_prefix}/proj/kernel", lin["kernel"])
+    if "bias" in lin:
+        _set(tree, f"{dst_prefix}/proj/bias", lin["bias"])
+    pc = parts_by_stem[f"{src_stem}.mdl.3.sequential.1.conv"]
+    dw = convert_conv1d(pc["weight"])
+    _set(tree, f"{dst_prefix}/dwconv/kernel", dw["kernel"])
+
+
+def convert_mossformer2(state_dict: dict) -> dict:
+    """Reference MossFormer2 torch state dict → {'params': ...} for
+    models/separation.py::MossFormer2 (same geometry)."""
+    groups = _group_weight_bias(state_dict)
+    tree: dict = {}
+    handled = set()
+
+    def take(stem):
+        handled.add(stem)
+        return groups[stem]
+
+    # encoder / decoder
+    p = take("enc.conv1d")
+    _set(tree, "encoder/kernel", convert_conv1d(p["weight"])["kernel"])
+    p = take("dec")
+    _set(tree, "decoder/kernel",
+         convert_conv_transpose1d(p["weight"])["kernel"])
+
+    # mask net top level
+    p = take("mask_net.norm")
+    _set(tree, "mask_net/in_norm/weight", to_numpy(p["weight"]))
+    _set(tree, "mask_net/in_norm/bias", to_numpy(p["bias"]))
+    p = take("mask_net.conv1d_encoder")
+    _set(tree, "mask_net/bottleneck/kernel",
+         _conv1x1_as_dense(p["weight"])["kernel"])
+    p = take("mask_net.pos_enc")
+    _set(tree, "mask_net/pos_scale", to_numpy(p["scale"]))
+    p = take("mask_net.mdl.intra_mdl.norm")
+    n = convert_norm(p["weight"], p["bias"])
+    _set(tree, "mask_net/out_ln/scale", n["scale"])
+    _set(tree, "mask_net/out_ln/bias", n["bias"])
+    p = take("mask_net.mdl.intra_norm")
+    _set(tree, "mask_net/intra_norm/weight", to_numpy(p["weight"]))
+    _set(tree, "mask_net/intra_norm/bias", to_numpy(p["bias"]))
+    p = take("mask_net.prelu")
+    _set(tree, "mask_net/prelu", to_numpy(p["weight"]))
+    for src, dst in (("mask_net.conv1d_out", "mask_net/spk_expand"),
+                     ("mask_net.output.0", "mask_net/out_tanh"),
+                     ("mask_net.output_gate.0", "mask_net/out_sig")):
+        p = take(src)
+        c = _conv1x1_as_dense(p["weight"], p.get("bias"))
+        _set(tree, f"{dst}/kernel", c["kernel"])
+        if "bias" in c:
+            _set(tree, f"{dst}/bias", c["bias"])
+    p = take("mask_net.conv1_decoder")
+    _set(tree, "mask_net/mask_proj/kernel",
+         _conv1x1_as_dense(p["weight"])["kernel"])
+
+    mm = "mask_net.mdl.intra_mdl.mossformerM"
+    flash_ids = sorted({int(m.group(1)) for s in groups
+                        if (m := re.match(
+                            rf"{re.escape(mm)}\.layers\.(\d+)\.", s + "."))})
+    for i in flash_ids:
+        src = f"{mm}.layers.{i}"
+        dst = f"mask_net/flash_{i}"
+        handled.add(f"{src}.rotary_pos_emb")  # deterministic buffer
+        for ff in ("to_hidden", "to_qk", "to_out"):
+            _ffconvm(tree, f"{src}.{ff}", f"{dst}/{ff}", groups,
+                     "scalenorm")
+            handled.update({f"{src}.{ff}.mdl.0", f"{src}.{ff}.mdl.1",
+                            f"{src}.{ff}.mdl.3.sequential.1.conv"})
+        p = take(f"{src}.qk_offset_scale")
+        # this framework stores gamma−1 (forward adds 1 back)
+        _set(tree, f"{dst}/os_gamma", to_numpy(p["gamma"]) - 1.0)
+        _set(tree, f"{dst}/os_beta", to_numpy(p["beta"]))
+
+    fsmn_ids = sorted({int(m.group(1)) for s in groups
+                       if (m := re.match(
+                           rf"{re.escape(mm)}\.fsmn\.(\d+)\.", s + "."))})
+    for i in fsmn_ids:
+        src = f"{mm}.fsmn.{i}"
+        dst = f"mask_net/fsmn_{i}"
+        p = take(f"{src}.conv1.0")
+        c = _conv1x1_as_dense(p["weight"], p.get("bias"))
+        _set(tree, f"{dst}/conv1/kernel", c["kernel"])
+        _set(tree, f"{dst}/conv1/bias", c["bias"])
+        p = take(f"{src}.conv1.1")
+        _set(tree, f"{dst}/prelu", to_numpy(p["weight"]))
+        p = take(f"{src}.conv2")
+        c = _conv1x1_as_dense(p["weight"], p.get("bias"))
+        _set(tree, f"{dst}/conv2/kernel", c["kernel"])
+        _set(tree, f"{dst}/conv2/bias", c["bias"])
+        for nsrc, ndst in ((f"{src}.norm1", f"{dst}/norm1"),
+                           (f"{src}.norm2", f"{dst}/norm2")):
+            p = take(nsrc)
+            n = convert_norm(p["weight"], p["bias"])
+            _set(tree, f"{ndst}/scale", n["scale"])
+            _set(tree, f"{ndst}/bias", n["bias"])
+        for ff in ("to_u", "to_v"):
+            _ffconvm(tree, f"{src}.gated_fsmn.{ff}", f"{dst}/{ff}",
+                     groups, "layernorm")
+            handled.update({f"{src}.gated_fsmn.{ff}.mdl.0",
+                            f"{src}.gated_fsmn.{ff}.mdl.1",
+                            f"{src}.gated_fsmn.{ff}.mdl.3.sequential.1.conv"})
+        p = take(f"{src}.gated_fsmn.fsmn.linear")
+        lin = convert_linear(p["weight"], p["bias"])
+        _set(tree, f"{dst}/fsmn/linear/kernel", lin["kernel"])
+        _set(tree, f"{dst}/fsmn/linear/bias", lin["bias"])
+        p = take(f"{src}.gated_fsmn.fsmn.project")
+        _set(tree, f"{dst}/fsmn/project/kernel",
+             convert_linear(p["weight"])["kernel"])
+        j = 0
+        while f"{src}.gated_fsmn.fsmn.conv.conv{j + 1}" in groups:
+            p = take(f"{src}.gated_fsmn.fsmn.conv.conv{j + 1}")
+            w = to_numpy(p["weight"])[..., 0]  # (C, j+1, 39)
+            _set(tree, f"{dst}/fsmn/ddn/conv{j}/kernel",
+                 convert_conv1d(w)["kernel"])
+            p = take(f"{src}.gated_fsmn.fsmn.conv.norm{j + 1}")
+            _set(tree, f"{dst}/fsmn/ddn/in_w{j}", to_numpy(p["weight"]))
+            _set(tree, f"{dst}/fsmn/ddn/in_b{j}", to_numpy(p["bias"]))
+            p = take(f"{src}.gated_fsmn.fsmn.conv.prelu{j + 1}")
+            _set(tree, f"{dst}/fsmn/ddn/prelu{j}", to_numpy(p["weight"]))
+            j += 1
+
+    unmatched = [s for s in groups
+                 if s not in handled and not s.endswith("rotary_pos_emb")
+                 and not s.endswith("pos_enc")]
+    if unmatched:
+        raise KeyError(
+            f"convert_mossformer2: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

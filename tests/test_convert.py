@@ -92,3 +92,65 @@ class TestRules:
             lambda x: np.zeros(x.shape, np.float32), template)
         checked = verify_tree_shapes(good, template)
         assert len(checked) > 3
+
+
+class TestMossFormer2FullPort:
+    """End-to-end weight port verified against the ACTUAL reference
+    torch MossFormer2 (VERDICT r2 ask 10): build the reference module at
+    tiny geometry from /root/reference source, convert its state dict
+    with runtime/port_rules.py, and diff a full forward pass.
+
+    Matches look2hear/models/base_model.py:52-64 (the reference's
+    checkpoint load path) at the numerical level: a real
+    mossformer2-finetune .pth could be loaded through the same rules.
+    """
+
+    def test_forward_parity_tiny_geometry(self):
+        import jax
+        import jax.numpy as jnp
+
+        from reference_torch import load_reference_models
+        from targetdiarization_tpu.models.separation import MossFormer2
+        from targetdiarization_tpu.runtime.port_rules import (
+            convert_mossformer2,
+        )
+
+        mods = load_reference_models()
+        if mods is None:
+            pytest.skip("reference tree or torch unavailable")
+        torch.manual_seed(0)
+        ref = mods["mossformer2"].MossFormer2(
+            in_channels=32, out_channels=32, num_blocks=2,
+            kernel_size=16, num_spks=2)
+        ref.eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        t = (256 - 1) * 8 + 16  # one attention group of encoder frames
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal((2, t)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(wav)).numpy()  # (B, spk, T)
+
+        params = convert_mossformer2(sd)
+        model = MossFormer2(dim=32, enc_channels=32, num_blocks=2,
+                            group_size=256, qk_dim=128, fsmn_inner=256)
+        # converted tree must BE the init tree, path for path
+        import jax.tree_util as jtu
+
+        tpl = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((2, t))))
+        tpl_paths = {jtu.keystr(p) for p, _ in
+                     jtu.tree_leaves_with_path(tpl)}
+        got_paths = {jtu.keystr(p) for p, _ in
+                     jtu.tree_leaves_with_path(params)}
+        assert tpl_paths == got_paths
+
+        # the JAX CPU backend's default matmul precision is bf16-class;
+        # parity needs exact f32 contractions
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply(
+                jax.tree_util.tree_map(jnp.asarray, params),
+                jnp.asarray(wav)))
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 5e-5, f"forward mismatch {err}"
