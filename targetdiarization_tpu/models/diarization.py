@@ -113,7 +113,7 @@ def activations_to_diarization(act: np.ndarray, fps: float,
         threshold_off=cfg.offset,
         max_end_silence_time=cfg.min_duration_off,
         min_speech_duration=cfg.min_duration_on,
-        speech_pad=0.0,
+        speech_pad=cfg.speech_pad,
     )
     result = {}
     for k in range(act.shape[1]):
@@ -129,6 +129,11 @@ class BinarizeConfig:
     offset: float = 0.35
     min_duration_on: float = 0.2
     min_duration_off: float = 0.3
+    # outward boundary padding (pyannote Binarize pad_onset/pad_offset):
+    # the onset threshold systematically trims the attack of the first
+    # phoneme — measured ~0.04-0.12 s late starts on the fixture, which
+    # cost the first character of short ASR segments
+    speech_pad: float = 0.1
 
 
 class SegmentationEngine:

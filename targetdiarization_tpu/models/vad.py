@@ -285,6 +285,7 @@ def segment_probs(probs: np.ndarray, cfg: VADConfig, fps: float = 100.0) -> list
     # clamp + merge overlaps created by padding
     merged = []
     for s, e in segs:
+        s = max(s, 0.0)
         if merged and s <= merged[-1][1]:
             merged[-1][1] = max(merged[-1][1], e)
         else:

@@ -50,6 +50,11 @@ class TargetDiarization:
         self.asr_engine = asr_engine
         self.target_similarity_threshold = target_similarity_threshold
         self.long_audio_threshold = long_audio_threshold
+        # cosine-distance threshold for the post-segmentation embedding
+        # reclustering (pyannote-3.1 clustering stage); the env knob
+        # PYANNOTE_CLUSTERING_THRESHOLD pokes it, like the reference
+        # pokes its pyannote pipeline (TargetDiarization.py:86-87)
+        self.recluster_threshold = pyannote_clustering_threshold or 0.6
         self.tasr = target_asr or TargetASR(verbose_log=verbose_log, seed=seed)
         self.ap: AudioProcessor = self.tasr.ap
 
@@ -586,7 +591,14 @@ class TargetDiarization:
                     merged.extend(ranges)
                 sd_result = {"0": iv.merge_timeranges(merged)} if merged else {}
             else:
-                sd_result = seg_sd
+                with trace("infer/recluster"):
+                    sd_result = self._recluster_sd(
+                        audio_data, sampling_rate, seg_sd)
+                if sd_result is not seg_sd:
+                    # reclustered labels already encode each overlap
+                    # under both voices; derive the overlap map from
+                    # them directly (seg channel keys no longer align)
+                    seg_sd = sd_result
         sd_result = sd_result or {}
         self._log("sd_result:", sd_result)
 
@@ -640,15 +652,113 @@ class TargetDiarization:
             raise RuntimeError("cluster diarizer produced no segments")
         return segments
 
+    def _recluster_sd(self, audio_data, sampling_rate, seg_sd: dict) -> dict:
+        """Global speaker attribution over the segmentation output —
+        the clustering half of the reference's pyannote-3.1 pipeline
+        (local segmentation channels carry no global voice identity;
+        pyannote assigns final labels by agglomerative clustering of
+        per-region speaker embeddings).
+
+        The timeline is decomposed into CLEAN pieces (exactly one channel
+        active — reliable to embed) and OVERLAP spans (≥2 channels — the
+        audio carries several voices, so embeddings are contaminated).
+        Clean pieces ≥0.3 s are embedded in one batched forward and
+        AHC-clustered; shorter ones inherit the nearest clustered piece's
+        label. Overlap spans are attributed to the clusters of the
+        temporally adjacent clean pieces (local segmentation guarantees
+        voice continuity across the boundary — the same assumption
+        pyannote's stitching makes). The result encodes each overlap
+        under BOTH its clusters, so the overlap map can be derived
+        directly from it (infer passes it through od_result_parser)."""
+        channels = {k: iv.merge_timeranges(v) for k, v in seg_sd.items()}
+        all_ranges = [r for rs in channels.values() for r in rs]
+        if len(all_ranges) < 2:
+            return seg_sd
+        pair_map = iv.get_speaker_overlap(channels, min_overlap_sec=0.2)
+        overlap_spans = iv.merge_timeranges(
+            [r for rs in pair_map.values() for r in rs])
+        clean = []
+        for spk, ranges in channels.items():
+            for s, e in iv.subtract_timeranges(ranges, overlap_spans):
+                if e - s >= 0.1:
+                    clean.append((s, e))
+        clean.sort()
+        if not clean:
+            return seg_sd
+        big = [i for i, (s, e) in enumerate(clean) if e - s >= 0.3]
+        if len(big) >= 2:
+            clips = [self.ap.split_audio_by_time(
+                audio_data, sampling_rate, *clean[i]) for i in big]
+            try:
+                embs = np.asarray(self.tasr.spk.embed_batch(
+                    clips, sr=sampling_rate))
+            except Exception:
+                return seg_sd
+            embs = embs / np.maximum(
+                np.linalg.norm(embs, axis=-1, keepdims=True), 1e-9)
+            from sklearn.cluster import AgglomerativeClustering
+
+            labels = AgglomerativeClustering(
+                n_clusters=None,
+                distance_threshold=self.recluster_threshold,
+                metric="cosine", linkage="average",
+            ).fit_predict(embs)
+        elif len(big) == 1:
+            labels = [0]
+        else:
+            return seg_sd
+        cluster = dict(zip(big, (int(x) for x in labels)))
+        # short pieces inherit the nearest clustered piece's label
+        for i, (s, e) in enumerate(clean):
+            if i not in cluster:
+                mid = (s + e) / 2
+                j = min(big, key=lambda k: abs(
+                    (clean[k][0] + clean[k][1]) / 2 - mid))
+                cluster[i] = cluster[j]
+        out: dict = {}
+        for i, (s, e) in enumerate(clean):
+            out.setdefault(cluster[i], []).append((s, e))
+        n_clusters = len(set(cluster.values()))
+        fresh = max(cluster.values()) + 1
+        for s, e in overlap_spans:
+            labs = []
+            prev = [i for i, (cs, ce) in enumerate(clean) if ce <= s + 1e-6]
+            nxt = [i for i, (cs, ce) in enumerate(clean) if cs >= e - 1e-6]
+            if prev:
+                labs.append(cluster[max(prev, key=lambda i: clean[i][1])])
+            if nxt:
+                labs.append(cluster[min(nxt, key=lambda i: clean[i][0])])
+            labs = list(dict.fromkeys(labs))
+            if len(labs) < 2:
+                # overlap needs two voices: take any other cluster, or a
+                # fresh label if only one voice was ever seen cleanly
+                others = [c for c in set(cluster.values()) if c not in labs]
+                labs.append(others[0] if others else fresh)
+            for lab in labs[:2]:
+                out.setdefault(lab, []).append((s, e))
+        out = {k: iv.merge_timeranges(v) for k, v in out.items()}
+        # renumber by first appearance time
+        order = {k: i for i, (k, _) in enumerate(
+            sorted(out.items(), key=lambda kv: kv[1][0][0]))}
+        out = {str(order[k]): v for k, v in out.items()}
+        self._log("reclustered sd_result:", out,
+                  f"({n_clusters} voice clusters)")
+        return out
+
     def _segmentation_sd(self, audio_data, sampling_rate, fr=None) -> dict:
         """pyannote-slot diarization, reusing fused activations when
         available (zero extra dispatches)."""
         if fr is not None and fr.get("seg_act") is not None:
             from ..models.diarization import activations_to_diarization
 
-            return activations_to_diarization(
+            sd = activations_to_diarization(
                 fr["seg_act"], self.od_pipeline.fps)
-        return self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+        else:
+            sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
+        # Binarize speech_pad can push the last boundary past the audio
+        dur = round(len(audio_data) / sampling_rate, 3)
+        return {k: [(s, min(e, dur)) for s, e in v if s < dur]
+                for k, v in sd.items()}
 
     def _speech_windows(self, fr):
         """Fused sliding windows restricted to speech: keep windows whose

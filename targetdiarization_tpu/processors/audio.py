@@ -31,6 +31,7 @@ class AudioProcessor:
         denoise_model: str = "",
         separation_model: str = "",
         restoration_model: str = "",
+        enhancement_model: str = "",
         quality: int = 2,
         verbose_log: bool = False,
         seed: int = 0,
@@ -41,6 +42,7 @@ class AudioProcessor:
         self.denoiser = None
         self.separator = None
         self.restorer = None
+        self.enhancer = None
         # quality preset → MDX hop (reference AudioProcessor.py:225-229)
         hop = {1: 256, 2: 1024, 3: 2048}.get(quality, 1024)
         try:
@@ -72,6 +74,13 @@ class AudioProcessor:
                 self.restorer = RestorationEngine.from_pretrained(restoration_model)
         except Exception as e:
             self._log(f"restoration model unavailable: {e}")
+        try:
+            if enhancement_model and os.path.exists(enhancement_model):
+                from ..models.enhancement import EnhancerEngine
+
+                self.enhancer = EnhancerEngine.from_pretrained(enhancement_model)
+        except Exception as e:
+            self._log(f"enhancement model unavailable: {e}")
 
     def _log(self, msg: str):
         if self.verbose_log:
@@ -431,7 +440,26 @@ class AudioProcessor:
                 return np.asarray(audio_data, np.float32)
             return self.restorer.restore(audio_data, sr=sampling_rate)
 
-    enhance_audio = restore_audio  # Resemble-Enhance slot routes to the restorer
+    def enhance_audio(self, audio_data: np.ndarray, sampling_rate: int = 16000,
+                      nfe: int | None = None, lambd: float = 0.9,
+                      tau: float | None = None) -> np.ndarray:
+        """Resemble-Enhance slot: flow-matching enhancer with the
+        reference's knob surface — NFE by quality preset 1/64/128,
+        lambd=0.9, tau=0.5 (reference AudioProcessor.py:244-265,
+        init_enhancer_model nfe selection :245-255). Falls back to the
+        restorer when no enhancer checkpoint is loaded (soft
+        degradation, same contract as other disabled stages)."""
+        self._log("Running module: enhance_audio")
+        with trace("audio/enhance_audio"):
+            if self.enhancer is None:
+                return self.restore_audio(audio_data, sampling_rate)
+            if nfe is None:
+                nfe = {1: 1, 2: 64, 3: 128}.get(self.quality, 64)
+            from ..models.enhancement import PRIOR_STD
+
+            return self.enhancer.enhance(
+                audio_data, sr=sampling_rate, nfe=nfe, lambd=lambd,
+                tau=PRIOR_STD if tau is None else tau)
 
     def run_modules(self, audio_data: np.ndarray, sampling_rate: int,
                     modules: list) -> np.ndarray:

@@ -56,6 +56,7 @@ class FrameworkConfig:
     denoise_model: str = ""
     separation_model: str = ""
     restoration_model: str = ""
+    enhancement_model: str = ""  # Resemble-Enhance slot (FlowEnhancer)
     asr_model: str = ""
     asr_engine: str = "paraformer"
     punc_model: str = ""

@@ -99,6 +99,7 @@ def build_model(config=None):
         "segmentation_model": os.path.join(repo, "checkpoints", "seg-bootstrap"),
         "denoise_model": os.path.join(repo, "checkpoints", "den-bootstrap"),
         "restoration_model": os.path.join(repo, "checkpoints", "rest-bootstrap"),
+        "enhancement_model": os.path.join(repo, "checkpoints", "enh-bootstrap"),
         "asr_model": os.path.join(
             repo, "checkpoints",
             "whisper-bootstrap" if str(cfg.asr_engine).startswith("whisper")
@@ -114,6 +115,7 @@ def build_model(config=None):
         denoise_model=cfg.denoise_model,
         separation_model=cfg.separation_model,
         restoration_model=cfg.restoration_model,
+        enhancement_model=cfg.enhancement_model,
         quality=cfg.quality,
         verbose_log=cfg.verbose_log,
     )

@@ -70,13 +70,31 @@ def stoi_proxy(est, ref, sr: int = 16000) -> float:
 
 class MetricsTracker:
     """Accumulate per-example metrics and write a CSV report
-    (reference wrapper.py CSV logging :48-51, 156-199)."""
+    (reference wrapper.py CSV logging :48-51, 156-199).
+
+    With `asr_engine` set (any object with the ASREngine
+    `asr_detection(audio, sr)` contract), each row also logs the
+    transcript of the estimate and of the reference — the reference
+    harness's faster-whisper hook (look2hear/metrics/asr.py:1-12,
+    wrapper.py:28-40) served the same purpose."""
 
     FIELDS = ("key", "si_snr", "si_snr_i", "sdr", "sdr_i", "stoi", "pesq")
+    ASR_FIELDS = ("transcript_est", "transcript_ref")
 
-    def __init__(self, save_path: str | None = None):
+    def __init__(self, save_path: str | None = None, asr_engine=None,
+                 sample_rate: int = 16000):
         self.rows: list = []
         self.save_path = save_path
+        self.asr_engine = asr_engine
+        self.sample_rate = sample_rate
+
+    def _transcribe(self, audio) -> str:
+        try:
+            res = self.asr_engine.asr_detection(
+                np.asarray(audio, np.float32).ravel(), self.sample_rate)
+            return "".join(r.get("text", "") for r in res)
+        except Exception:
+            return ""
 
     def update(self, key: str, est, ref, mix):
         row = {
@@ -90,6 +108,9 @@ class MetricsTracker:
             "pesq": round(_pesq(np.asarray(ref).ravel(),
                                np.asarray(est).ravel()), 3),
         }
+        if self.asr_engine is not None:
+            row["transcript_est"] = self._transcribe(est)
+            row["transcript_ref"] = self._transcribe(ref)
         self.rows.append(row)
         return row
 
@@ -107,8 +128,10 @@ class MetricsTracker:
         if not path:
             raise ValueError("no CSV path given")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fields = self.FIELDS + (
+            self.ASR_FIELDS if self.asr_engine is not None else ())
         with open(path, "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=self.FIELDS)
+            writer = csv.DictWriter(f, fieldnames=fields)
             writer.writeheader()
             writer.writerows(self.rows)
             summary = {"key": "mean", **self.summary()}

@@ -26,12 +26,13 @@ FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
 REFERENCE_JSON = FIXTURES / "chat_mix_reference.json"
 GOLDEN_JSON = FIXTURES / "chat_mix_golden.json"
 
-# Ceiling for the shipped bootstrap checkpoints (measured 0.166 after
-# the 256-dim/12-block separator + eres2netv2_large speaker upgrade;
-# was 0.43 with the first round-2 set). The driver target is parity
-# within 1% of the reference — that needs reference-scale training
-# data; this guards regressions.
-DER_CEILING = 0.25
+# Ceiling for the shipped bootstrap checkpoints. Round-3 measured DER
+# 0.020 (was 0.166) after (a) single-voice speaker-embedding classes —
+# the old recipe trained chat_mix's two voices as ONE class, (b) the
+# pyannote-style embedding reclustering stage on top of segmentation
+# (pipeline/offline.py::_recluster_sd), (c) Binarize boundary padding.
+# History: 0.43 → 0.166 (round 2) → 0.020 (round 3).
+DER_CEILING = 0.06
 
 
 @pytest.fixture(scope="module")
@@ -109,8 +110,8 @@ class TestGoldenSnapshot:
         for got, want in zip(snap["segments"], golden["segments"]):
             assert got["speaker"] == want["speaker"]
             assert got["type"] == want["type"]
-            assert abs(got["timerange"][0] - want["timerange"][0]) <= 0.3
-            assert abs(got["timerange"][1] - want["timerange"][1]) <= 0.3
+            assert abs(got["timerange"][0] - want["timerange"][0]) <= 0.08  # 2 seg frames
+            assert abs(got["timerange"][1] - want["timerange"][1]) <= 0.08
 
 
 class TestPipelineCER:
@@ -136,6 +137,8 @@ class TestPipelineCER:
             hyp = "".join(c for c in hyp if c not in "，。？、！ ")
             cers.append(cer(text, hyp))
         mean_cer = float(np.mean(cers))
-        # full-pipeline ceiling: preprocess (denoise/loudness) perturbs
-        # the audio vs the recipe's clean eval (CER 0.063)
-        assert mean_cer < 0.40, f"pipeline CER {mean_cer}: {cers}"
+        # Round-3: engine CER 0.0 clean AND preprocessed after the CIF
+        # tail fix (models/asr.py tail_threshold) — the old 0.40 ceiling
+        # was dropped edge characters (CIF tail + segment-boundary
+        # trimming), not acoustics. Pipeline-level measured 0.044.
+        assert mean_cer < 0.10, f"pipeline CER {mean_cer}: {cers}"

@@ -288,3 +288,26 @@ class TestPerceptualMetrics:
         path = t.write_csv()
         head = open(path).readline()
         assert "stoi" in head and "pesq" in head
+
+
+class TestMetricsTranscriptHook:
+    """Reference harness logs per-sample ASR transcripts
+    (look2hear/metrics/asr.py:1-12); ours via any ASREngine-contract
+    object."""
+
+    def test_transcript_columns(self, tmp_path, rng):
+        from targetdiarization_tpu.train.metrics import MetricsTracker
+
+        class FakeASR:
+            def asr_detection(self, audio, sr):
+                return [{"text": f"len{len(audio)}"}]
+
+        t = MetricsTracker(save_path=str(tmp_path / "m.csv"),
+                           asr_engine=FakeASR())
+        est = rng.standard_normal(1600).astype("float32")
+        ref = rng.standard_normal(1600).astype("float32")
+        row = t.update("ex0", est, ref, ref)
+        assert row["transcript_est"] == "len1600"
+        path = t.write_csv()
+        header = open(path).readline().strip().split(",")
+        assert "transcript_est" in header and "transcript_ref" in header
