@@ -226,3 +226,102 @@ def convert_mossformer2(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_mossformer2: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_apollo(state_dict: dict, n_uniform: int = 79) -> dict:
+    """Reference Apollo torch state dict (look2hear/models/apollo.py:207)
+    → {'params': ...} for models/restoration.py::Apollo.
+
+    This framework stacks the reference's 79 per-band ModuleLists into
+    parameter banks applied by one einsum (restoration.py module doc);
+    the converter transposes each band's RMSNorm/Conv1d into its bank
+    row. The ragged tail band (index 79) keeps its own projection.
+
+    Layout quirks:
+      - Roformer `weight` Conv1d packs channels head-major as
+        [q_h | k_h | v_h] per head; this framework's Dense packs
+        selector-major (3, heads, hd) — permuted here.
+      - cos/sin rotary buffers are deterministic — skipped.
+    """
+    sd = {k: to_numpy(v) for k, v in state_dict.items()}
+    tree: dict = {}
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    # --- input bottleneck banks ---
+    uni_norm, uni_w, uni_b = [], [], []
+    for i in range(n_uniform):
+        uni_norm.append(take(f"BN.{i}.0.weight"))
+        uni_w.append(take(f"BN.{i}.1.weight")[..., 0].T)  # (2bw+1, d)
+        uni_b.append(take(f"BN.{i}.1.bias"))
+    _set(tree, "uni_norm_w", np.stack(uni_norm))
+    _set(tree, "uni_bn_w", np.stack(uni_w))
+    _set(tree, "uni_bn_b", np.stack(uni_b))
+    _set(tree, "tail_norm_w", take(f"BN.{n_uniform}.0.weight"))
+    _set(tree, "tail_bn_w", take(f"BN.{n_uniform}.1.weight")[..., 0].T)
+    _set(tree, "tail_bn_b", take(f"BN.{n_uniform}.1.bias"))
+
+    # --- BSNet layers ---
+    li = 0
+    while f"net.{li}.band_net.input_norm.weight" in sd:
+        src, dst = f"net.{li}", f"bsnet_{li}"
+        rf = f"{src}.band_net"
+        _set(tree, f"{dst}/band_net/in_norm/weight",
+             take(f"{rf}.input_norm.weight"))
+        qkv = take(f"{rf}.weight.weight")[..., 0]  # (3*H*hd, d)
+        d = qkv.shape[1]
+        hd3 = qkv.shape[0]
+        heads = 8
+        hd = hd3 // (3 * heads)
+        # head-major [q|k|v] per head → selector-major (3, heads, hd)
+        qkv = qkv.reshape(heads, 3, hd, d).transpose(1, 0, 2, 3)
+        _set(tree, f"{dst}/band_net/qkv/kernel",
+             qkv.reshape(3 * heads * hd, d).T.copy())
+        _set(tree, f"{dst}/band_net/out/kernel",
+             take(f"{rf}.output.weight")[..., 0].T)
+        _set(tree, f"{dst}/band_net/mlp_norm/weight",
+             take(f"{rf}.MLP.0.weight"))
+        _set(tree, f"{dst}/band_net/mlp_in/kernel",
+             take(f"{rf}.MLP.1.weight")[..., 0].T)
+        _set(tree, f"{dst}/band_net/mlp_out/kernel",
+             take(f"{rf}.MLP_output.weight")[..., 0].T)
+        for j in range(3):
+            cf = f"{src}.seq_net.blocks.{j}.conv"
+            cd = f"{dst}/icb_{j}"
+            w = take(f"{cf}.0.weight")  # (C, 1, K) depthwise
+            _set(tree, f"{cd}/dw/kernel", convert_conv1d(w)["kernel"])
+            _set(tree, f"{cd}/dw/bias", take(f"{cf}.0.bias"))
+            _set(tree, f"{cd}/norm/weight", take(f"{cf}.1.weight"))
+            up = convert_linear(take(f"{cf}.2.weight")[..., 0],
+                                take(f"{cf}.2.bias"))
+            _set(tree, f"{cd}/up/kernel", up["kernel"])
+            _set(tree, f"{cd}/up/bias", up["bias"])
+            down = convert_linear(take(f"{cf}.4.weight")[..., 0],
+                                  take(f"{cf}.4.bias"))
+            _set(tree, f"{cd}/down/kernel", down["kernel"])
+            _set(tree, f"{cd}/down/bias", down["bias"])
+        li += 1
+
+    # --- output head banks ---
+    on_w, ow, ob = [], [], []
+    for i in range(n_uniform):
+        on_w.append(take(f"output.{i}.0.weight"))
+        ow.append(take(f"output.{i}.1.weight")[..., 0].T)  # (d, bw*4)
+        ob.append(take(f"output.{i}.1.bias"))
+    # RMSNormBanked holds all nband rows (uniform + tail) in one bank
+    tail_norm = take(f"output.{n_uniform}.0.weight")
+    _set(tree, "out_norm/weight", np.stack(on_w + [tail_norm]))
+    _set(tree, "uni_out_w", np.stack(ow))
+    _set(tree, "uni_out_b", np.stack(ob))
+    _set(tree, "tail_out_w", take(f"output.{n_uniform}.1.weight")[..., 0].T)
+    _set(tree, "tail_out_b", take(f"output.{n_uniform}.1.bias"))
+
+    unmatched = [k for k in sd if k not in handled
+                 and "cos_freq" not in k and "sin_freq" not in k]
+    if unmatched:
+        raise KeyError(
+            f"convert_apollo: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}
