@@ -300,9 +300,23 @@ class RestorationEngine:
             if sr != self.model.sr
             else audio
         )
-        chunks, n = chunk_signal(jnp.asarray(work), self.window, self.hop)
+        window = self.window
+        if len(work) <= window:
+            # short clips run a bucketed program instead of the full
+            # 6 s overlap-add window (VERDICT r2 ask 4; the STFT frame
+            # grid keeps buckets at multiples of the model stride)
+            from ..runtime.buckets import BucketLadder
+
+            st = self.model.stride
+            ladder = BucketLadder(tuple(
+                b for b in (st * 100, st * 200, st * 400, window)
+                if b <= window))
+            window = ladder.bucket(max(len(work), self.model.win))
+        # single-chunk bucket → hop = window (no overlap-add to do)
+        hop = self.hop if window == self.window else window
+        chunks, n = chunk_signal(jnp.asarray(work), window, hop)
         est = self._apply(self._params_c, chunks)
-        out = np.asarray(merge_chunks(est, n, self.hop, window_fn="tri"))
+        out = np.asarray(merge_chunks(est, n, hop, window_fn="tri"))
         if sr != self.model.sr:
             out = resample_poly_np(out, sr, self.model.sr)
         if len(out) >= t_orig:

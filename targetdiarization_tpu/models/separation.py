@@ -561,6 +561,16 @@ class SeparationEngine:
         if n == 0:
             return np.zeros((self.model.num_spks, t_orig), np.float32)
         win = self.window
+        if n <= win:
+            # single-window clips run a bucketed program instead of
+            # always paying the full window (a 4 s clip runs a 4 s
+            # program, not 10 s — VERDICT r2 ask 4, same ladder as
+            # separate_batch)
+            from ..runtime.buckets import BucketLadder
+
+            ladder = BucketLadder(tuple(
+                b for b in (32000, 64000, 96000, win) if b <= win))
+            win = ladder.bucket(n)
         n_win = max(1, -(-n // win))
         padded = np.pad(work, (0, n_win * win - n))
         batch = padded.reshape(n_win, win)
