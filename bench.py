@@ -179,6 +179,11 @@ def main():
         bench_streaming()
         return
     fast = os.environ.get("BENCH_FAST", "0") == "1"
+    # BENCH_CHECKPOINTS=1: run the SHIPPED-checkpoint pipeline (the one
+    # the quality numbers describe) instead of zero-init
+    # production-geometry models — so perf and quality describe the
+    # same system (round-2 verdict weak item 3)
+    use_ckpts = os.environ.get("BENCH_CHECKPOINTS", "0") == "1"
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     wav = "/root/reference/assets/chat_mix.wav"
     target = "/root/reference/assets/female_a.wav"
@@ -197,7 +202,12 @@ def main():
     # (warnings, verbose logs) go to stderr
     with contextlib.redirect_stdout(sys.stderr):
         t0 = time.time()
-        td = build_pipeline(fast)
+        if use_ckpts:
+            from targetdiarization_tpu.serve.server import build_model
+
+            td = build_model()
+        else:
+            td = build_pipeline(fast)
         log(f"pipeline built in {time.time() - t0:.1f}s")
 
         # warmup: compiles every (stage, bucket) program
@@ -215,7 +225,7 @@ def main():
 
     rtfx = duration / best
     print(json.dumps({
-        "metric": "e2e_rtfx",
+        "metric": "e2e_rtfx_checkpoints" if use_ckpts else "e2e_rtfx",
         "value": round(rtfx, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / 50.0, 4),

@@ -103,7 +103,8 @@ def build_model(config=None):
         "asr_model": os.path.join(
             repo, "checkpoints",
             "whisper-bootstrap" if str(cfg.asr_engine).startswith("whisper")
-            else "asr-bootstrap"),
+            else ("sv-bootstrap" if cfg.asr_engine == "sensevoice"
+                  else "asr-bootstrap")),
         "punc_model": os.path.join(repo, "checkpoints", "punc-bootstrap"),
         "emotion_model": os.path.join(repo, "checkpoints", "emo-bootstrap"),
     }

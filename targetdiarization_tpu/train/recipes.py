@@ -1236,6 +1236,154 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     return metrics
 
 
+def bootstrap_sensevoice(steps: int = 3000, batch: int = 16,
+                         seconds: float = 4.0,
+                         checkpoint_dir: str = "checkpoints/sv-bootstrap",
+                         seed: int = 0, log_fn=print,
+                         eval_utts: int = 50,
+                         dim: int = 192, enc_layers: int = 6,
+                         ffn: int = 768) -> dict:
+    """Train the SenseVoice engine (encoder-only CTC + rich-tag heads,
+    models/asr.py:SenseVoice — reference ASRProcessor.py:215-228
+    sensevoice slot) on the synthetic language: CTC loss over the char
+    vocabulary plus CE on the language/emotion/event tag heads (fixed
+    zh/NEUTRAL/Speech supervision so the tag regex contract decodes
+    sensibly). Ships vocab + corpus CMVN like bootstrap_asr; reports
+    held-out CER via the engine's own ctc_greedy decode."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import features
+    from ..models.asr import LFR_M, LFR_N, ASREngine, SenseVoice
+    from ..models.tokenizer import CharTokenizer
+    from ..runtime.params import save_checkpoint
+    from .synth import UnitPool, cer, random_text
+
+    rng = np.random.default_rng(seed)
+    tok = CharTokenizer()
+    n = int(seconds * 16000)
+    t_lfr = -(-features.num_frames(n) // LFR_N)
+    max_chars = 10
+    pool = UnitPool(variants=96, seed=seed + 77)
+
+    def sample_batch(gen):
+        audios = np.zeros((batch, n), np.float32)
+        ids = np.full((batch, max_chars), tok.blank_id, np.int32)
+        n_chars = np.zeros(batch, np.int32)
+        n_lfr = np.ones(batch, np.int32)
+        for b in range(batch):
+            text = random_text(gen, 2, max_chars)
+            snr = float(gen.uniform(12, 35)) if gen.random() < 0.5 else None
+            audio, _ = pool.utterance(text, gen, noise_snr_db=snr)
+            audios[b, : min(len(audio), n)] = audio[:n]
+            n_lfr[b] = max(
+                -(-features.num_frames(min(len(audio), n)) // LFR_N), 1)
+            enc = tok.encode(text)
+            ids[b, : len(enc)] = enc
+            n_chars[b] = len(enc)
+        return audios, ids, n_chars, n_lfr
+
+    # corpus CMVN (same convention as bootstrap_asr)
+    feat_fn = jax.jit(lambda a: features.lfr(features.fbank(a), LFR_M, LFR_N))
+    s1 = np.zeros(80 * LFR_M, np.float64)
+    s2 = np.zeros(80 * LFR_M, np.float64)
+    cnt = 0
+    for _ in range(4):
+        audios, _, _, _ = sample_batch(rng)
+        f = np.asarray(feat_fn(jnp.asarray(audios)))
+        s1 += f.sum(axis=(0, 1))
+        s2 += (f ** 2).sum(axis=(0, 1))
+        cnt += f.shape[0] * f.shape[1]
+    mu = s1 / cnt
+    sd = np.sqrt(np.maximum(s2 / cnt - mu ** 2, 1e-8))
+    cmvn_mean = (-mu).astype(np.float32)
+    cmvn_istd = (1.0 / sd).astype(np.float32)
+
+    model = SenseVoice(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
+                       enc_layers=enc_layers)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, t_lfr, 80 * LFR_M)),
+                        jnp.ones((1, t_lfr)))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 1e-3, warmup_steps=min(100, steps // 10 + 1),
+        decay_steps=max(steps, 2))
+    opt = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0),
+                    optax.adamw(sched, weight_decay=1e-4)), 50)
+    opt_state = opt.init(params)
+    cm = jnp.asarray(cmvn_mean)
+    ci = jnp.asarray(cmvn_istd)
+
+    @jax.jit
+    def step_fn(params, opt_state, audio, ids, n_chars, n_lfr):
+        def loss_fn(p):
+            feats = features.lfr(features.fbank(audio), LFR_M, LFR_N)
+            feats = (feats + cm) * ci
+            mask = (jnp.arange(t_lfr)[None, :]
+                    < n_lfr[:, None]).astype(jnp.float32)
+            out = model.apply(p, feats, mask)
+            logits = out["ctc_logits"]  # (B, T, V)
+            logit_pad = 1.0 - mask
+            label_pad = (jnp.arange(max_chars)[None, :]
+                         >= n_chars[:, None]).astype(jnp.float32)
+            ctc = jnp.mean(optax.ctc_loss(
+                logits, logit_pad, ids, label_pad,
+                blank_id=tok.blank_id))
+            tag = (
+                jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                    out["lang_logits"], jnp.zeros(audio.shape[0], jnp.int32)))
+                + jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                    out["emotion_logits"],
+                    jnp.zeros(audio.shape[0], jnp.int32)))
+                + jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                    out["event_logits"],
+                    jnp.zeros(audio.shape[0], jnp.int32))))
+            return ctc + 0.1 * tag
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        audios, ids, n_chars, n_lfr = sample_batch(rng)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(audios), jnp.asarray(ids),
+            jnp.asarray(n_chars), jnp.asarray(n_lfr))
+        if (i + 1) % max(steps // 10, 1) == 0:
+            log_fn(f"sv step {i + 1}/{steps}: loss={float(loss):.3f}")
+
+    import os as _os
+
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    save_checkpoint(checkpoint_dir, params, "SenseVoice",
+                    {"vocab_size": len(tok), "dim": dim, "heads": 4,
+                     "ffn": ffn, "enc_layers": enc_layers})
+    tok.save(_os.path.join(checkpoint_dir, "vocab.txt"))
+    np.savez(_os.path.join(checkpoint_dir, "cmvn.npz"),
+             mean=cmvn_mean, istd=cmvn_istd)
+
+    eng = ASREngine(params=params, model=model, tokenizer=tok,
+                    cmvn=(cmvn_mean, cmvn_istd))
+    gen = np.random.default_rng(seed + 1)
+    cers = []
+    from .synth import synth_utterance
+
+    for _ in range(eval_utts):
+        text = random_text(gen, 2, max_chars)
+        audio, _ = synth_utterance(text, gen)
+        res = eng.asr_detection(audio)[0]
+        cers.append(cer(text, res["text"]))
+    metrics = {
+        "final_loss": float(loss),
+        "eval_cer": round(float(np.mean(cers)), 4),
+        "eval_exact": round(float(np.mean([c == 0 for c in cers])), 3),
+        "checkpoint": checkpoint_dir,
+    }
+    log_fn(f"sensevoice bootstrap: {metrics}")
+    return metrics
+
+
 def bootstrap_punc(steps: int = 800, batch: int = 32,
                    checkpoint_dir: str = "checkpoints/punc-bootstrap",
                    seed: int = 0, log_fn=print, eval_utts: int = 200) -> dict:
