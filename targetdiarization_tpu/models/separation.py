@@ -487,11 +487,11 @@ class SeparationEngine:
         return batch, lengths, n
 
     @classmethod
-    def from_pretrained(cls, path: str) -> "SeparationEngine":
+    def from_pretrained(cls, path: str, mesh=None) -> "SeparationEngine":
         from ..runtime.registry import from_pretrained
 
         model, params = from_pretrained(path)
-        return cls(params=params, model=model)
+        return cls(params=params, model=model, mesh=mesh)
 
     def separate_batch(self, clips: list, sr: int = 16000) -> list:
         """Separate several clips in ONE batched forward (all padded to

@@ -36,6 +36,7 @@ class AudioProcessor:
         verbose_log: bool = False,
         seed: int = 0,
         init_random_if_missing: bool = False,
+        mesh=None,
     ):
         self.verbose_log = verbose_log
         self.quality = quality
@@ -60,7 +61,8 @@ class AudioProcessor:
             if separation_model and os.path.exists(separation_model):
                 from ..models.separation import SeparationEngine
 
-                self.separator = SeparationEngine.from_pretrained(separation_model)
+                self.separator = SeparationEngine.from_pretrained(
+                    separation_model, mesh=mesh)
             elif init_random_if_missing:
                 from ..models.separation import SeparationEngine
 

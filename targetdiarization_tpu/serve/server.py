@@ -112,6 +112,23 @@ def build_model(config=None):
         if not getattr(cfg, field) and os.path.exists(path):
             setattr(cfg, field, path)
             logger.info(f"using bootstrap checkpoint for {field}: {path}")
+    # multi-chip serving: when more than one device is visible, the
+    # separation engine (the heaviest batched forward) runs
+    # batch-sharded over a 1-D data mesh (SURVEY.md §2.4 plan b);
+    # single-chip deployments are unaffected. Opt out: TD_SERVE_MESH=0.
+    mesh = None
+    try:
+        import jax
+
+        if (os.environ.get("TD_SERVE_MESH", "1") != "0"
+                and len(jax.devices()) > 1):
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            logger.info(
+                f"serving with a {mesh.devices.size}-device data mesh")
+    except Exception:
+        mesh = None
     ap = AudioProcessor(
         denoise_model=cfg.denoise_model,
         separation_model=cfg.separation_model,
@@ -119,6 +136,7 @@ def build_model(config=None):
         enhancement_model=cfg.enhancement_model,
         quality=cfg.quality,
         verbose_log=cfg.verbose_log,
+        mesh=mesh,
     )
     asrp = ASRProcessor(
         vad_model=cfg.vad_model,
