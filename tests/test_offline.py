@@ -162,3 +162,74 @@ class TestAssembly:
         assert np.all(combined[16000:32000] == 1)
         assert np.all(combined[32000:48000] == 0)
         assert np.all(combined[48000:] == 3)
+
+
+class TestReclusterSd:
+    """Unit coverage for the pyannote-style reclustering stage with a
+    stub speaker engine whose embeddings we control exactly."""
+
+    def _pipeline_with_embeddings(self, emb_fn):
+        from targetdiarization_tpu.pipeline.offline import TargetDiarization
+
+        td = TargetDiarization.__new__(TargetDiarization)
+        td.recluster_threshold = 0.6
+        td.verbose_log = False
+
+        class AP:
+            @staticmethod
+            def split_audio_by_time(audio, sr, s, e):
+                return audio[int(s * sr): int(e * sr)]
+
+        class SPK:
+            @staticmethod
+            def embed_batch(clips, sr=16000):
+                return np.stack([emb_fn(len(c) / sr, c) for c in clips])
+
+        class TASR:
+            spk = SPK()
+
+        td.ap = AP()
+        td.tasr = TASR()
+        td._log = lambda *a, **k: None
+        return td
+
+    def test_splits_channel_by_voice_and_attributes_overlap(self):
+        """One segmentation channel spanning two different voices must
+        split; the overlap span lands under BOTH adjacent voices."""
+        sr = 16000
+        audio = np.zeros(sr * 9, np.float32)
+        # voice A in [0, 2), voice B in [5, 9): orthogonal embeddings
+        ea = np.array([1.0, 0.0], np.float32)
+        eb = np.array([0.0, 1.0], np.float32)
+
+        def emb(dur, clip):
+            # identify the clip by where it was cut from (length is
+            # unique per span in this fixture)
+            return ea if abs(dur - 1.9) < 0.05 else eb
+
+        td = self._pipeline_with_embeddings(emb)
+        seg_sd = {"2": [(0.0, 7.8), (8.0, 8.7)], "0": [(1.9, 5.1)]}
+        out = td._recluster_sd(audio, sr, seg_sd)
+        # two voices, renumbered by first appearance (adjacent ranges
+        # merge, so assert coverage rather than exact boundaries)
+        assert set(out) == {"0", "1"}
+
+        def covers(ranges, s, e):
+            return any(rs <= s + 0.05 and re >= e - 0.05 for rs, re in ranges)
+
+        assert covers(out["0"], 0.0, 1.9)       # voice A's clean span
+        assert covers(out["1"], 5.1, 7.8)       # voice B's clean span
+        assert covers(out["1"], 8.0, 8.7)       # short tail joins B
+        assert not covers(out["0"], 5.1, 7.8)   # A must NOT own B's span
+        # the overlap span appears under both labels
+        assert covers(out["0"], 2.0, 5.0)
+        assert covers(out["1"], 2.0, 5.0)
+
+    def test_same_voice_stays_merged(self):
+        sr = 16000
+        audio = np.zeros(sr * 9, np.float32)
+        e = np.array([1.0, 0.0], np.float32)
+        td = self._pipeline_with_embeddings(lambda dur, clip: e)
+        seg_sd = {"0": [(0.0, 2.0)], "1": [(3.0, 5.0)]}
+        out = td._recluster_sd(audio, sr, seg_sd)
+        assert len(out) == 1  # both pieces are the same voice
