@@ -465,20 +465,32 @@ class AudioProcessor:
 
     def run_modules(self, audio_data: np.ndarray, sampling_rate: int,
                     modules: list) -> np.ndarray:
-        """Sequential preprocessing chain by name
-        (reference run_modules :284-307)."""
+        """Sequential preprocessing chain (reference run_modules
+        :284-307). Accepts the reference's form — dict entries
+        {method_name: kwargs} dispatched by getattr — plus short string
+        aliases for the common stages."""
+        aliases = {
+            "denoise": "denoise_vocal",
+            "separate": "separate_speaker",
+            "restore": "restore_audio",
+            "enhance": "enhance_audio",
+            "loudness": "audio_loudness_control",
+            "normalize": "audio_normalize",
+        }
         out = np.asarray(audio_data, np.float32)
         for mod in modules:
-            if mod == "denoise":
-                out = self.denoise_vocal(out, sampling_rate)
-            elif mod == "separate":
-                out = self.separate_speaker(out, sampling_rate)[0]
-            elif mod == "restore":
-                out = self.restore_audio(out, sampling_rate)
-            elif mod == "loudness":
-                out = self.audio_loudness_control(out, sampling_rate)
-            elif mod == "normalize":
-                out = self.audio_normalize(out)
-            else:
-                self._log(f"unknown module {mod!r} skipped")
+            entries = (mod.items() if isinstance(mod, dict)
+                       else [(mod, None)])
+            for name, params in entries:
+                method = getattr(self, aliases.get(name, name), None)
+                if method is None:
+                    self._log(f"Method {name} not exists.")
+                    continue
+                kwargs = dict(params or {})
+                if name == "normalize" or aliases.get(name) == "audio_normalize":
+                    out = method(out, **kwargs)
+                else:
+                    out = method(out, sampling_rate, **kwargs)
+                if name in ("separate", "separate_speaker"):
+                    out = out[0]  # louder stream continues the chain
         return out
