@@ -1031,7 +1031,7 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
             nv = r["n_valid"]
             nf = jnp.where(nv < 400, 0, 1 + (nv - 400) // 160)
             n_lfr = jnp.maximum(-(-nf // LFR_N), 1)
-            return audio, n_lfr
+            return audio, n_lfr, r["ends"]
 
     pool = None
     if not device_synth:
@@ -1068,7 +1068,7 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     for ci in range(4):
         if device_synth:
             bi, _, nc = sample_ids(rng)
-            audios, _ = synth_jit(jax.random.PRNGKey(seed * 7919 + ci),
+            audios, _, _ = synth_jit(jax.random.PRNGKey(seed * 7919 + ci),
                                   jnp.asarray(bi), jnp.asarray(nc), dn_p)
         else:
             audios, _, _, _ = sample_batch(rng)
@@ -1102,7 +1102,8 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     opt_state = opt.init(params)
     mean_j, istd_j = jnp.asarray(cmvn_mean), jnp.asarray(cmvn_istd)
 
-    def _step_impl(params, opt_state, audio, ids, n_chars, n_lfr):
+    def _step_impl(params, opt_state, audio, ids, n_chars, n_lfr,
+                   char_ends=None):
         def loss_fn(p):
             feats = features.lfr(features.fbank(audio), LFR_M, LFR_N)
             feats = features.apply_cmvn(feats, mean_j, istd_j)
@@ -1123,7 +1124,26 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
             # bug: inference fired ~2.5x per char)
             qty = jnp.mean(jnp.abs(jnp.sum(out["alphas_raw"], axis=1)
                                    - n_chars.astype(jnp.float32)))
-            return ce + 0.5 * qty, (ce, qty)
+            loss = ce + 0.5 * qty
+            if char_ends is not None:
+                # CIF alignment: cumulative RAW alpha must cross k+1 at
+                # char k's true end (the synthesis gives exact
+                # boundaries). Localizes inference-time fire positions —
+                # without it the round-3 25k run drifted to 163 ms MAE
+                # mid-utterance (sum-only supervision says nothing about
+                # WHERE the mass sits).
+                csum = jnp.cumsum(out["alphas_raw"], axis=1)  # (B, T)
+                end_f = (char_ends * 16000.0 - 400.0) / 160.0 / LFR_N
+                idx = jnp.clip(end_f.astype(jnp.int32), 0, t - 1)  # (B, C)
+                got = jnp.take_along_axis(csum, idx, axis=1)
+                c = char_ends.shape[1]
+                want = jnp.arange(1, c + 1, dtype=jnp.float32)[None, :]
+                cmask = (jnp.arange(c)[None, :]
+                         < n_chars[:, None]).astype(jnp.float32)
+                align = (jnp.sum(jnp.square(got - want) * cmask)
+                         / jnp.maximum(jnp.sum(cmask), 1.0))
+                loss = loss + 0.3 * align
+            return loss, (ce, qty)
 
         (loss, (ce, qty)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -1139,8 +1159,9 @@ def bootstrap_asr(steps: int = 2000, batch: int = 16, seconds: float = 4.0,
     def dev_step_fn(params, opt_state, step, boot_idx, ids, n_chars, dn_pp):
         # synthesis + augmentation + forward/backward: ONE program/step
         key = jax.random.fold_in(base_key, step)
-        audio, n_lfr = synth_graph(key, boot_idx, n_chars, dn_pp)
-        return _step_impl(params, opt_state, audio, ids, n_chars, n_lfr)
+        audio, n_lfr, ends = synth_graph(key, boot_idx, n_chars, dn_pp)
+        return _step_impl(params, opt_state, audio, ids, n_chars, n_lfr,
+                          ends)
 
     import os
 
