@@ -755,10 +755,29 @@ class TargetDiarization:
                 fr["seg_act"], self.od_pipeline.fps)
         else:
             sd = self.od_pipeline.diarize(audio_data, sr=sampling_rate)
-        # Binarize speech_pad can push the last boundary past the audio
+        # Binarize speech_pad can push the last boundary past the audio;
+        # conversely the offset threshold trims fading final vowels —
+        # snap boundaries to the audio edges when the residual gap is
+        # tiny (a 0.2 s trailing trim cost the last character of short
+        # utterances; VAD post-processing in the reference absorbs such
+        # gaps via max_end_silence_time)
         dur = round(len(audio_data) / sampling_rate, 3)
-        return {k: [(s, min(e, dur)) for s, e in v if s < dur]
-                for k, v in sd.items()}
+        snap = 0.3
+        out = {}
+        for k, v in sd.items():
+            ranges = []
+            for s, e in v:
+                if s >= dur:
+                    continue
+                e = min(e, dur)
+                if s < snap:
+                    s = 0.0
+                if dur - e < snap:
+                    e = dur
+                ranges.append((s, e))
+            if ranges:
+                out[k] = ranges
+        return out
 
     def _speech_windows(self, fr):
         """Fused sliding windows restricted to speech: keep windows whose
