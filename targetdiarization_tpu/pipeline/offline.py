@@ -586,10 +586,21 @@ class TargetDiarization:
             with trace("infer/diarize_segmentation"):
                 seg_sd = self._segmentation_sd(audio_data, sampling_rate, fr)
             if is_single:
-                merged = []
-                for ranges in seg_sd.values():
-                    merged.extend(ranges)
-                sd_result = {"0": iv.merge_timeranges(merged)} if merged else {}
+                # the reference's single-speaker path feeds the WHOLE
+                # clip to ASR (TargetASR.single_speaker_asr :658 — the
+                # engine's own VAD handles splitting); slicing by the
+                # segmentation net here cost quiet onsets (a 0.3 s
+                # missed attack dropped leading characters). Short
+                # clips use one full-range segment; long audio keeps
+                # the merged segmentation spans for bucket limits.
+                if duration <= 30.0:
+                    sd_result = {"0": [(0.0, round(duration, 3))]}
+                else:
+                    merged = []
+                    for ranges in seg_sd.values():
+                        merged.extend(ranges)
+                    sd_result = (
+                        {"0": iv.merge_timeranges(merged)} if merged else {})
             else:
                 with trace("infer/recluster"):
                     sd_result = self._recluster_sd(

@@ -137,8 +137,9 @@ class TestPipelineCER:
             hyp = "".join(c for c in hyp if c not in "，。？、！ ")
             cers.append(cer(text, hyp))
         mean_cer = float(np.mean(cers))
-        # Round-3: engine CER 0.0 clean AND preprocessed after the CIF
-        # tail fix (models/asr.py tail_threshold) — the old 0.40 ceiling
-        # was dropped edge characters (CIF tail + segment-boundary
-        # trimming), not acoustics. Pipeline-level measured 0.044.
-        assert mean_cer < 0.10, f"pipeline CER {mean_cer}: {cers}"
+        # Round-3 history: 0.40 → 0.044 (CIF tail fix + boundary pad)
+        # → 0.033 (edge snap) → 0.000 (single-speaker mode feeds the
+        # whole clip to ASR like the reference's single_speaker_asr,
+        # instead of slicing by the segmentation net). Ceiling leaves
+        # headroom for one boundary slip on the 5-utterance CI sample.
+        assert mean_cer < 0.05, f"pipeline CER {mean_cer}: {cers}"
