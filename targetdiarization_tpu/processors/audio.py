@@ -479,18 +479,28 @@ class AudioProcessor:
         }
         out = np.asarray(audio_data, np.float32)
         for mod in modules:
-            entries = (mod.items() if isinstance(mod, dict)
-                       else [(mod, None)])
-            for name, params in entries:
-                method = getattr(self, aliases.get(name, name), None)
-                if method is None:
-                    self._log(f"Method {name} not exists.")
-                    continue
-                kwargs = dict(params or {})
-                if name == "normalize" or aliases.get(name) == "audio_normalize":
-                    out = method(out, **kwargs)
-                else:
-                    out = method(out, sampling_rate, **kwargs)
-                if name in ("separate", "separate_speaker"):
-                    out = out[0]  # louder stream continues the chain
+            if isinstance(mod, dict):
+                # reference-exact form: method(audio, **params) — the
+                # caller includes sampling_rate in params when the
+                # method needs one (AudioProcessor.py:284-292)
+                for name, params in mod.items():
+                    method = getattr(self, name, None)
+                    if method is None:
+                        self._log(f"Method {name} not exists.")
+                        continue
+                    out = method(out, **dict(params or {}))
+                    if name == "separate_speaker":
+                        out = out[0]
+                continue
+            # string aliases: sampling_rate injected for the DSP stages
+            method = getattr(self, aliases.get(mod, mod), None)
+            if method is None:
+                self._log(f"Method {mod} not exists.")
+                continue
+            if mod == "normalize":
+                out = method(out)
+            else:
+                out = method(out, sampling_rate)
+            if mod == "separate":
+                out = out[0]  # louder stream continues the chain
         return out
