@@ -45,9 +45,13 @@ def _length_mask(lengths, t, dtype=jnp.float32):
 
 
 class _MaskedGLN(nn.Module):
-    """Global layer norm over (T, C) with mask."""
+    """Global layer norm over (T, C) with mask. With a full mask this is
+    numerically the reference's GlobalChannelLayerNorm
+    (ConvTasnet.py:33-66) — masking is this framework's static-shape
+    addition."""
 
     dim: int
+    eps: float = 1e-8
 
     @nn.compact
     def __call__(self, x, mask):
@@ -57,7 +61,16 @@ class _MaskedGLN(nn.Module):
         denom = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1], 1.0)
         mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / denom
         var = jnp.sum(jnp.square(x - mean) * m, axis=(1, 2), keepdims=True) / denom
-        return (w * (x - mean) / jnp.sqrt(var + 1e-8) + b) * m
+        return (w * (x - mean) / jnp.sqrt(var + self.eps) + b) * m
+
+
+class _PReLU(nn.Module):
+    """torch nn.PReLU(num_parameters=1) equivalent (init 0.25)."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(0.25), (1,))
+        return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
 
 
 class _EncDec:
@@ -95,6 +108,10 @@ def _mask_decode(x_enc, masks, dec, num_spks, t_in):
 
 
 class _TCNBlock(nn.Module):
+    """Reference Conv1D_Block (ConvTasnet.py:89-115), gLN mode:
+    conv1x1 → PReLU → gLN → dwconv(bias) → PReLU → gLN → sconv,
+    residual around the whole block."""
+
     dim: int
     hidden: int
     kernel: int = 3
@@ -103,50 +120,64 @@ class _TCNBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         h = nn.Dense(self.hidden, name="in1x1")(x)
-        h = jax.nn.relu(h)
-        h = _MaskedGLN(self.hidden, name="gln1")(h, mask)
+        h = _PReLU(name="prelu1")(h)
+        h = _MaskedGLN(self.hidden, eps=1e-5, name="gln1")(h, mask)
         h = DepthwiseConv1d(self.hidden, self.kernel, dilation=self.dilation,
                             use_bias=True, name="dwconv")(h)
-        h = jax.nn.relu(h)
-        h = _MaskedGLN(self.hidden, name="gln2")(h, mask)
+        h = _PReLU(name="prelu2")(h)
+        h = _MaskedGLN(self.hidden, eps=1e-5, name="gln2")(h, mask)
         return x + nn.Dense(self.dim, name="out1x1")(h)
 
 
 @register_model(name="ConvTasNet")
 class ConvTasNet(nn.Module):
-    """Classic TCN masking separator (Luo & Mesgarani 2019)."""
+    """Classic TCN masking separator (Luo & Mesgarani 2019), faithful to
+    the reference graph (ConvTasnet.py:176-228): raw (unactivated) conv
+    encoder, gLN+1×1 bottleneck, R×X PReLU TCN blocks, 1×1 mask head
+    applied straight to the separation output (no activation before it),
+    relu mask nonlinearity on the raw encoder frames, biased transposed-
+    conv decoder. Loadable from a reference torch checkpoint via
+    runtime/port_rules.py::convert_convtasnet (forward parity verified
+    in tests/test_convert.py); length-masking is additive — with a full
+    mask the computation is the reference's exactly."""
 
-    enc_channels: int = 512
-    bottleneck: int = 128
-    hidden: int = 512
-    kernel_size: int = 16
-    n_blocks: int = 8
-    n_repeats: int = 3
+    enc_channels: int = 512   # N
+    bottleneck: int = 128     # B
+    hidden: int = 512         # H (must equal N: the reference multiplies
+    #                           H-channel masks onto the N-channel encoder)
+    kernel_size: int = 16     # L
+    n_blocks: int = 8         # X
+    n_repeats: int = 3        # R
     num_spks: int = 2
     sample_rate: int = 16000
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
         b, t_in = wav.shape
-        x = _EncDec.encode(wav, self.enc_channels, self.kernel_size)
+        x = nn.Conv(self.enc_channels, (self.kernel_size,),
+                    strides=(self.kernel_size // 2,), padding="VALID",
+                    use_bias=True, name="encoder")(wav[..., None])
         t = x.shape[1]
         if lengths is None:
             lengths = jnp.full((b,), t_in)
         mask = _length_mask(
             jnp.clip((lengths - self.kernel_size) // (self.kernel_size // 2) + 1,
                      1, t), t)
-        h = _MaskedGLN(self.enc_channels, name="in_norm")(x, mask)
+        x = x * mask[..., None]
+        h = _MaskedGLN(self.enc_channels, eps=1e-5, name="in_norm")(x, mask)
         h = nn.Dense(self.bottleneck, name="bottleneck")(h)
         for r in range(self.n_repeats):
             for i in range(self.n_blocks):
                 h = _TCNBlock(self.bottleneck, self.hidden, dilation=2 ** i,
                               name=f"tcn_{r}_{i}")(h, mask)
-        m = nn.Dense(self.enc_channels * self.num_spks, name="mask_out")(
-            jax.nn.relu(h))
-        m = jax.nn.relu(m).reshape(b, t, self.num_spks, self.enc_channels)
-        m = m.transpose(0, 1, 2, 3) * mask[..., None, None]
-        dec = _EncDec.decode_module(self.kernel_size)
-        return _mask_decode(x, m.transpose(0, 1, 2, 3), dec, self.num_spks, t_in)
+        m = nn.Dense(self.hidden * self.num_spks, name="mask_out")(h)
+        m = jax.nn.relu(m).reshape(b, t, self.num_spks, self.hidden)
+        m = m * mask[..., None, None]
+        dec = nn.ConvTranspose(1, (self.kernel_size,),
+                               strides=(self.kernel_size // 2,),
+                               padding="VALID", use_bias=True,
+                               name="decoder")
+        return _mask_decode(x, m, dec, self.num_spks, t_in)
 
 
 # ---------------- dual-path segmentation helpers ----------------

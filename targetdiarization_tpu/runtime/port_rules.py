@@ -325,3 +325,83 @@ def convert_apollo(state_dict: dict, n_uniform: int = 79) -> dict:
         raise KeyError(
             f"convert_apollo: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_convtasnet(state_dict: dict) -> dict:
+    """Reference ConvTasNet torch state dict (ConvTasnet.py:176-228,
+    gLN norm) → {'params': ...} for models/zoo.py::ConvTasNet.
+
+    Name map (reference → here):
+      encoder.encoder            → encoder            (conv1d, bias)
+      encoder.norm               → in_norm            (gLN gamma/beta (C,1))
+      encoder.conv1x1            → bottleneck         (1×1 conv → Dense)
+      separation.sep.{r}.tcn.{i}.conv1x1 → tcn_{r}_{i}/in1x1
+      …              .prelu1/.prelu2     → tcn_{r}_{i}/prelu{1,2}/alpha
+      …              .norm1/.norm2       → tcn_{r}_{i}/gln{1,2}  (w/b)
+      …              .dwconv             → tcn_{r}_{i}/dwconv   (K,1,H)
+      …              .sconv              → tcn_{r}_{i}/out1x1
+      mask                       → mask_out           (1×1 conv → Dense)
+      decoder.decoder            → decoder            (transposed conv)
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def gln(dst, stem):
+        _set(tree, f"{dst}/w", to_numpy(take(f"{stem}.gamma"))[:, 0])
+        _set(tree, f"{dst}/b", to_numpy(take(f"{stem}.beta"))[:, 0])
+
+    tree: dict = {}
+    enc = convert_conv1d(take("encoder.encoder.weight"),
+                         take("encoder.encoder.bias"))
+    _set(tree, "encoder/kernel", enc["kernel"])
+    _set(tree, "encoder/bias", enc["bias"])
+    gln("in_norm", "encoder.norm")
+    bn = _conv1x1_as_dense(take("encoder.conv1x1.weight"),
+                           take("encoder.conv1x1.bias"))
+    _set(tree, "bottleneck/kernel", bn["kernel"])
+    _set(tree, "bottleneck/bias", bn["bias"])
+
+    n_rep = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"separation\.sep\.(\d+)\.", k)))
+    n_blk = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"separation\.sep\.0\.tcn\.(\d+)\.", k)))
+    for r in range(n_rep):
+        for i in range(n_blk):
+            src = f"separation.sep.{r}.tcn.{i}"
+            dst = f"tcn_{r}_{i}"
+            p = _conv1x1_as_dense(take(f"{src}.conv1x1.weight"),
+                                  take(f"{src}.conv1x1.bias"))
+            _set(tree, f"{dst}/in1x1/kernel", p["kernel"])
+            _set(tree, f"{dst}/in1x1/bias", p["bias"])
+            _set(tree, f"{dst}/prelu1/alpha",
+                 to_numpy(take(f"{src}.prelu1.weight")))
+            gln(f"{dst}/gln1", f"{src}.norm1")
+            dw = convert_conv1d(take(f"{src}.dwconv.weight"),
+                                take(f"{src}.dwconv.bias"))
+            _set(tree, f"{dst}/dwconv/kernel", dw["kernel"])
+            _set(tree, f"{dst}/dwconv/bias", dw["bias"])
+            _set(tree, f"{dst}/prelu2/alpha",
+                 to_numpy(take(f"{src}.prelu2.weight")))
+            gln(f"{dst}/gln2", f"{src}.norm2")
+            p = _conv1x1_as_dense(take(f"{src}.sconv.weight"),
+                                  take(f"{src}.sconv.bias"))
+            _set(tree, f"{dst}/out1x1/kernel", p["kernel"])
+            _set(tree, f"{dst}/out1x1/bias", p["bias"])
+
+    p = _conv1x1_as_dense(take("mask.weight"), take("mask.bias"))
+    _set(tree, "mask_out/kernel", p["kernel"])
+    _set(tree, "mask_out/bias", p["bias"])
+    dec = convert_conv_transpose1d(take("decoder.decoder.weight"),
+                                   take("decoder.decoder.bias"))
+    _set(tree, "decoder/kernel", dec["kernel"])
+    _set(tree, "decoder/bias", dec["bias"])
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_convtasnet: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

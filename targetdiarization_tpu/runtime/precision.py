@@ -30,13 +30,17 @@ def resolve_compute_dtype(requested: str | None = None):
 
 
 def cast_params(params, dtype):
-    """Cast floating leaves; ints (e.g. embeddings indices) untouched."""
+    """Cast floating leaves; ints (e.g. embeddings indices) untouched.
+
+    Runs as ONE jitted program: a single device dispatch for the whole
+    tree instead of one eager `astype` per leaf — hundreds of leaves ×
+    ~28 ms tunnel RTT dominated engine construction time."""
     def _c(x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
-    return jax.tree_util.tree_map(_c, params)
+    return jax.jit(lambda p: jax.tree_util.tree_map(_c, p))(params)
 
 
 def cast_inputs(dtype, *arrays):
