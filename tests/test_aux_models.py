@@ -33,6 +33,50 @@ class TestWhisperStyle:
         asrp = ASRProcessor(asr_engine="whisper", init_random_if_missing=False)
         assert "whisper" in asrp.LOCAL_ENGINES
 
+    def test_padding_mask_parity(self, engine):
+        """The same audio padded to two different static bucket sizes
+        (same true n_frames) must decode identically — regression guard
+        for the round-2 encoder-mask bug (whisper_style.py enc_mask)
+        where padding leaked into cross-attention."""
+        import jax.numpy as jnp
+
+        from targetdiarization_tpu.models import features
+
+        rng = np.random.default_rng(7)
+        audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+        t = features.num_frames(len(audio))
+        a1 = np.pad(audio, (0, 16000 - len(audio)))[None]
+        a2 = np.pad(audio, (0, 32000 - len(audio)))[None]
+        ids1 = np.asarray(engine._greedy(
+            engine._params_c, jnp.asarray(a1), jnp.asarray([t])))
+        ids2 = np.asarray(engine._greedy(
+            engine._params_c, jnp.asarray(a2), jnp.asarray([t])))
+        assert (ids1 == ids2).all(), (ids1, ids2)
+
+    def test_input_dependence(self, engine):
+        """Different audio must produce different encoder states —
+        the round-2 bug made output input-independent."""
+        import jax.numpy as jnp
+
+        from targetdiarization_tpu.models import features
+        from targetdiarization_tpu.models.whisper_style import WhisperStyleASR
+
+        rng = np.random.default_rng(3)
+        a = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+        t = features.num_frames(16000)
+        feats = features.fbank(jnp.asarray(a))
+        fmask = jnp.ones((2, feats.shape[1]))
+        enc = engine.model.apply(engine._params_c, feats, fmask,
+                                 method=WhisperStyleASR.encode)
+        d = float(np.abs(np.asarray(enc[0]) - np.asarray(enc[1])).max())
+        assert d > 1e-4, f"encoder states identical across inputs ({d})"
+
+    def test_resample_path(self, engine):
+        rng = np.random.default_rng(11)
+        audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+        res = engine.asr_detection(audio, sr=8000)  # exercises 8k→16k
+        assert isinstance(res[0]["text"], str)
+
 
 class TestEmotion:
     def test_contract(self, chat_mix):
