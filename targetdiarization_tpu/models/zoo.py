@@ -296,11 +296,164 @@ class _DualPathSeparator(nn.Module):
         return _mask_decode(x, m, dec, self.num_spks, t_in)
 
 
-@register_model(name="DPRNNTasNet")
-class DPRNNTasNet(_DualPathSeparator):
-    """Dual-path BiLSTM separator (Luo et al. 2020)."""
+class _TorchLSTM(nn.Module):
+    """One-layer (optionally bidirectional) LSTM with torch's exact cell
+    semantics and parameter packing (gate order i,f,g,o; separate
+    input/hidden biases) so reference checkpoints map weight-for-weight."""
 
-    kind: str = "rnn"
+    hidden: int
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, N) → (B, T, H or 2H)
+        def run(xs, name):
+            n = xs.shape[-1]
+            wi = self.param(f"{name}_wi", nn.initializers.lecun_normal(),
+                            (n, 4 * self.hidden))
+            wh = self.param(f"{name}_wh", nn.initializers.lecun_normal(),
+                            (self.hidden, 4 * self.hidden))
+            bi = self.param(f"{name}_bi", nn.initializers.zeros,
+                            (4 * self.hidden,))
+            bh = self.param(f"{name}_bh", nn.initializers.zeros,
+                            (4 * self.hidden,))
+            xg = xs @ wi + bi + bh  # input projection hoisted out of scan
+
+            def step(carry, g_t):
+                h, c = carry
+                gates = g_t + h @ wh
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            b = xs.shape[0]
+            init = (jnp.zeros((b, self.hidden), xs.dtype),
+                    jnp.zeros((b, self.hidden), xs.dtype))
+            _, hs = jax.lax.scan(step, init, jnp.swapaxes(xg, 0, 1))
+            return jnp.swapaxes(hs, 0, 1)
+
+        out = run(x, "fwd")
+        if self.bidirectional:
+            out = jnp.concatenate(
+                [out, run(x[:, ::-1], "bwd")[:, ::-1]], axis=-1)
+        return out
+
+
+def _gn(dim, name):
+    """GroupNorm(1, C, eps=float32.eps) — the reference's select_norm
+    returns exactly this regardless of the `norm` arg (dprnn.py:7-8)."""
+    return nn.GroupNorm(num_groups=1, epsilon=1.1920929e-7, name=name)
+
+
+def _segment_ref(x, k: int):
+    """Reference _Segmentation (dprnn.py:286-301), channels-last:
+    (B, L, N) → (B, S, K, N) via end-pad `gap`, P-pad both sides, and
+    two interleaved strided views."""
+    b, L, n = x.shape
+    p = k // 2
+    gap = k - (p + L % k) % k
+    x = jnp.pad(x, ((0, 0), (p, p + gap), (0, 0)))
+    x1 = x[:, :-p].reshape(b, -1, k, n)
+    x2 = x[:, p:].reshape(b, -1, k, n)
+    seg = jnp.concatenate([x1, x2], axis=2).reshape(b, -1, k, n)
+    return seg, gap
+
+
+def _over_add_ref(seg, gap: int):
+    """Reference _over_add (dprnn.py:303-318): inverse of _segment_ref."""
+    b, s, k, n = seg.shape
+    p = k // 2
+    x = seg.reshape(b, s // 2, 2 * k, n)
+    x1 = x[:, :, :k].reshape(b, -1, n)[:, p:]
+    x2 = x[:, :, k:].reshape(b, -1, n)[:, :-p]
+    out = x1 + x2
+    return out[:, :-gap] if gap > 0 else out
+
+
+class _DPRNNBlock(nn.Module):
+    """Reference Dual_RNN_Block (dprnn.py:70-166) in (B, S, K, N)."""
+
+    dim: int
+    hidden: int
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, k, n = x.shape
+        h = _TorchLSTM(self.hidden, self.bidirectional,
+                       name="intra_rnn")(x.reshape(b * s, k, n))
+        h = nn.Dense(self.dim, name="intra_proj")(h).reshape(b, s, k, n)
+        x = x + _gn(self.dim, "intra_norm")(h)
+        inter = x.transpose(0, 2, 1, 3).reshape(b * k, s, n)
+        h = _TorchLSTM(self.hidden, self.bidirectional,
+                       name="inter_rnn")(inter)
+        h = nn.Dense(self.dim, name="inter_proj")(h)
+        h = h.reshape(b, k, s, n).transpose(0, 2, 1, 3)
+        return x + _gn(self.dim, "inter_norm")(h)
+
+
+@register_model(name="DPRNNTasNet")
+class DPRNNTasNet(nn.Module):
+    """Dual-path BiLSTM separator (Luo et al. 2020), faithful to the
+    reference graph (dprnn.py:319-398): relu conv encoder, GroupNorm(1)
+    + 1×1 bottleneck, K-chunk segmentation with the reference's exact
+    interleaved-view scheme, N dual-RNN blocks (torch-packed LSTMs),
+    PReLU → spk-expand 1×1 → overlap-add → tanh×sigmoid gate → 1×1 →
+    relu masks on the encoder, transposed-conv decode. Loadable from a
+    reference torch checkpoint via port_rules.convert_dprnn (forward
+    parity verified in tests/test_convert.py). `lengths` zero-pads
+    masked frames additively; norm statistics then include the padding
+    (the reference has no masking), so bucket-padded outputs are
+    approximate — exact at full length."""
+
+    enc_channels: int = 64   # in_channels (encoder filters)
+    dim: int = 64            # out_channels (bottleneck width)
+    hidden: int = 128        # LSTM hidden
+    kernel_size: int = 2
+    chunk: int = 200         # K
+    n_layers: int = 4
+    num_spks: int = 2
+    bidirectional: bool = True
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, wav, lengths=None, deterministic: bool = True):
+        b, t_in = wav.shape
+        x = nn.Conv(self.enc_channels, (self.kernel_size,),
+                    strides=(self.kernel_size // 2,), padding="VALID",
+                    use_bias=False, name="encoder")(wav[..., None])
+        x = jax.nn.relu(x)
+        t = x.shape[1]
+        if lengths is not None:
+            stride = max(self.kernel_size // 2, 1)
+            mask = _length_mask(
+                jnp.clip((lengths - self.kernel_size) // stride + 1, 1, t), t)
+            x = x * mask[..., None]
+        h = _gn(self.enc_channels, "in_norm")(x)
+        h = nn.Dense(self.dim, use_bias=False, name="bottleneck")(h)
+        seg, gap = _segment_ref(h, self.chunk)
+        for i in range(self.n_layers):
+            seg = _DPRNNBlock(self.dim, self.hidden, self.bidirectional,
+                              name=f"dp_{i}")(seg)
+        seg = _PReLU(name="prelu")(seg)
+        seg = nn.Dense(self.dim * self.num_spks, name="spk_expand")(seg)
+        s, k = seg.shape[1], seg.shape[2]
+        # (B, S, K, spks·N) → (B·spks, S, K, N), batch-major spk packing
+        # exactly like the reference's view (dprnn.py:254-256)
+        seg = seg.reshape(b, s, k, self.num_spks, self.dim)
+        seg = seg.transpose(0, 3, 1, 2, 4).reshape(
+            b * self.num_spks, s, k, self.dim)
+        h = _over_add_ref(seg, gap)
+        h = (jnp.tanh(nn.Dense(self.dim, name="out_tanh")(h))
+             * jax.nn.sigmoid(nn.Dense(self.dim, name="out_sig")(h)))
+        h = nn.Dense(self.enc_channels, use_bias=False, name="mask_proj")(h)
+        m = jax.nn.relu(h).reshape(b, self.num_spks, t, self.enc_channels)
+        dec = nn.ConvTranspose(1, (self.kernel_size,),
+                               strides=(self.kernel_size // 2,),
+                               padding="VALID", use_bias=False,
+                               name="decoder")
+        return _mask_decode(x, m.transpose(0, 2, 1, 3), dec,
+                            self.num_spks, t_in)
 
 
 @register_model(name="DPTNet")

@@ -405,3 +405,81 @@ def convert_convtasnet(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_convtasnet: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_dprnn(state_dict: dict) -> dict:
+    """Reference DPRNNTasNet torch state dict (dprnn.py:319-398) →
+    {'params': ...} for models/zoo.py::DPRNNTasNet.
+
+    LSTM packing: torch weight_ih_l0 (4H, N) → {dir}_wi (N, 4H)
+    transposed; weight_hh_l0 (4H, H) → {dir}_wh (H, 4H); the two biases
+    stay separate ({dir}_bi / {dir}_bh); `_reverse` tensors map to the
+    `bwd` direction. Gate order (i,f,g,o) is preserved verbatim by the
+    transpose — models/zoo.py::_TorchLSTM uses torch's packing.
+    """
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def dense(dst, stem, bias=True):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 4:      # Conv2d 1×1
+            w = w[..., 0, 0]
+        elif w.ndim == 3:    # Conv1d 1×1
+            w = w[..., 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        if bias:
+            _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def norm(dst, stem):
+        _set(tree, f"{dst}/scale", to_numpy(take(f"{stem}.weight")))
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def lstm(dst, stem):
+        dirs = [("fwd", "")]
+        if f"{stem}.weight_ih_l0_reverse" in sd:
+            dirs.append(("bwd", "_reverse"))
+        for name, suf in dirs:
+            _set(tree, f"{dst}/{name}_wi",
+                 to_numpy(take(f"{stem}.weight_ih_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_wh",
+                 to_numpy(take(f"{stem}.weight_hh_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_bi",
+                 to_numpy(take(f"{stem}.bias_ih_l0{suf}")))
+            _set(tree, f"{dst}/{name}_bh",
+                 to_numpy(take(f"{stem}.bias_hh_l0{suf}")))
+
+    tree: dict = {}
+    enc = convert_conv1d(take("encoder.conv1d.weight"))
+    _set(tree, "encoder/kernel", enc["kernel"])
+    norm("in_norm", "separation.norm")
+    dense("bottleneck", "separation.conv1d", bias=False)
+
+    n_layers = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(r"separation\.dual_rnn\.(\d+)\.", k)))
+    for i in range(n_layers):
+        src = f"separation.dual_rnn.{i}"
+        dst = f"dp_{i}"
+        lstm(f"{dst}/intra_rnn", f"{src}.intra_rnn")
+        dense(f"{dst}/intra_proj", f"{src}.intra_linear")
+        norm(f"{dst}/intra_norm", f"{src}.intra_norm")
+        lstm(f"{dst}/inter_rnn", f"{src}.inter_rnn")
+        dense(f"{dst}/inter_proj", f"{src}.inter_linear")
+        norm(f"{dst}/inter_norm", f"{src}.inter_norm")
+
+    _set(tree, "prelu/alpha", to_numpy(take("separation.prelu.weight")))
+    dense("spk_expand", "separation.conv2d")
+    dense("out_tanh", "separation.output.0")
+    dense("out_sig", "separation.output_gate.0")
+    dense("mask_proj", "separation.end_conv1x1", bias=False)
+    dec = convert_conv_transpose1d(take("decoder.weight"))
+    _set(tree, "decoder/kernel", dec["kernel"])
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_dprnn: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

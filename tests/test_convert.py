@@ -246,3 +246,52 @@ class TestConvTasNetFullPort:
         assert got.shape == want.shape
         err = np.abs(got - want).max()
         assert err < 1e-5, f"forward mismatch {err}"
+
+
+class TestDPRNNFullPort:
+    """End-to-end DPRNNTasNet weight port against the actual reference
+    torch module (dprnn.py:319-398) at tiny geometry — proves the torch
+    LSTM gate/bias packing map that the other RNN-family zoo models
+    share."""
+
+    def test_forward_parity_tiny_geometry(self):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        from reference_torch import load_reference_models
+        from targetdiarization_tpu.models.zoo import DPRNNTasNet
+        from targetdiarization_tpu.runtime.port_rules import convert_dprnn
+
+        mods = load_reference_models()
+        if mods is None:
+            pytest.skip("reference tree or torch unavailable")
+        torch.manual_seed(0)
+        ref = mods["dprnn"].DPRNNTasNet(
+            in_channels=16, out_channels=12, hidden_channels=20,
+            kernel_size=8, norm="ln", bidirectional=True, num_layers=2,
+            K=20, num_spks=2)
+        ref.eval()
+        params = convert_dprnn(
+            {k: v.detach() for k, v in ref.state_dict().items()})
+        model = DPRNNTasNet(enc_channels=16, dim=12, hidden=20,
+                            kernel_size=8, chunk=20, n_layers=2,
+                            num_spks=2, bidirectional=True)
+
+        t = 1600
+        tpl = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((2, t))))
+        assert ({jtu.keystr(p) for p, _ in jtu.tree_leaves_with_path(tpl)}
+                == {jtu.keystr(p) for p, _ in
+                    jtu.tree_leaves_with_path(params)})
+
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal((2, t)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(wav)).numpy()  # (B, spk, T)
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply(
+                jtu.tree_map(jnp.asarray, params), jnp.asarray(wav)))
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 2e-5, f"forward mismatch {err}"
