@@ -456,11 +456,161 @@ class DPRNNTasNet(nn.Module):
                             self.num_spks, t_in)
 
 
-@register_model(name="DPTNet")
-class DPTNet(_DualPathSeparator):
-    """Dual-path transformer separator (Chen et al. 2020)."""
+class _GLNBDT(nn.Module):
+    """Reference dptnet.py GlobalLayerNorm (shape='BDT'): normalize over
+    (T, N) jointly with per-channel affine, eps = float32 machine eps.
+    Input here is channels-last (B, T, N) — same element set."""
 
-    kind: str = "transformer"
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+        return gamma * (x - mean) / jnp.sqrt(var + 1.1920929e-7) + beta
+
+
+class _TorchMHA(nn.Module):
+    """torch nn.MultiheadAttention with its packed in_proj parameters."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("in_w", nn.initializers.lecun_normal(),
+                       (3 * self.dim, self.dim))
+        b = self.param("in_b", nn.initializers.zeros, (3 * self.dim,))
+        wo = self.param("out_w", nn.initializers.lecun_normal(),
+                        (self.dim, self.dim))
+        bo = self.param("out_b", nn.initializers.zeros, (self.dim,))
+        qkv = x @ w.T + b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        bsz, t, n = x.shape
+        h, dh = self.heads, self.dim // self.heads
+
+        def sp(a):
+            return a.reshape(bsz, t, h, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = sp(q), sp(k), sp(v)
+        s = (q @ jnp.swapaxes(k, -1, -2)) / jnp.sqrt(dh).astype(x.dtype)
+        o = (jax.nn.softmax(s, axis=-1) @ v).transpose(0, 2, 1, 3)
+        return o.reshape(bsz, t, n) @ wo.T + bo
+
+
+class _ImprovedTransformer(nn.Module):
+    """Reference ImprovedTransformerLayer (dptnet.py:323-399): MHA +
+    residual + gLN, then LSTM → relu → Linear feed-forward + residual +
+    gLN (the DPTNet paper's RNN-augmented transformer)."""
+
+    dim: int
+    heads: int
+    hidden: int
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        out = _TorchMHA(self.dim, self.heads, name="self_attn")(x) + x
+        out = _GLNBDT(self.dim, name="norm_attn")(out)
+        h = _TorchLSTM(self.hidden, self.bidirectional, name="rnn")(out)
+        h = nn.Dense(self.dim, name="ff")(jax.nn.relu(h))
+        return _GLNBDT(self.dim, name="norm_ff")(h + out)
+
+
+def _split_unfold(x, seg: int):
+    """Reference DPTNetSeparator.split_feature (dptnet.py:661-669):
+    F.unfold with `seg` zero-padding on both sides and hop seg//2,
+    channels-last: (B, T, N) → (B, S, seg, N)."""
+    b, t, n = x.shape
+    p = seg // 2
+    xp = jnp.pad(x, ((0, 0), (seg, seg), (0, 0)))
+    n_chunks = (t + seg) // p + 1
+    idx = jnp.arange(seg)[None, :] + p * jnp.arange(n_chunks)[:, None]
+    return xp[:, idx]
+
+
+def _merge_fold(seg_x, length: int):
+    """Reference merge_feature (dptnet.py:671-697): overlap-add fold ÷
+    fold(ones), cropping the `seg`-wide padding."""
+    b, s, k, n = seg_x.shape
+    hop = k // 2
+    width = length + 2 * k
+    idx = (jnp.arange(k)[None, :] + hop * jnp.arange(s)[:, None]).reshape(-1)
+    out = jnp.zeros((b, width, n), seg_x.dtype).at[:, idx].add(
+        seg_x.reshape(b, -1, n))
+    norm = jnp.zeros((width,), seg_x.dtype).at[idx].add(1.0)
+    out = out / jnp.maximum(norm, 1e-8)[None, :, None]
+    return out[:, k: k + length]
+
+
+@register_model(name="DPTNet")
+class DPTNet(nn.Module):
+    """Dual-path transformer separator (Chen et al. 2020), faithful to
+    the reference graph (dptnet.py:401-733): relu conv encoder, gLN,
+    unfold segmentation, N×(intra,inter) improved-transformer layers
+    (MHA + LSTM feed-forward), PReLU → spk-expand 1×1, fold overlap-add,
+    tanh×sigmoid gate, relu masks on the (relu'd) encoder feature,
+    transposed-conv decode. Loadable from a reference torch checkpoint
+    via port_rules.convert_dptnet (forward parity in tests/test_convert
+    .py). `lengths` masking is additive (norm stats include padding),
+    exact at full length."""
+
+    enc_channels: int = 64   # input_dim (must divide by `heads`)
+    hidden: int = 128        # unit (LSTM hidden)
+    heads: int = 4
+    kernel_size: int = 16
+    stride: int = 8
+    chunk: int = 20          # segment_size
+    n_layers: int = 6
+    num_spks: int = 2
+    bidirectional: bool = True
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, wav, lengths=None, deterministic: bool = True):
+        b, t_in = wav.shape
+        x = nn.Conv(self.enc_channels, (self.kernel_size,),
+                    strides=(self.stride,), padding="VALID",
+                    use_bias=False, name="encoder")(wav[..., None])
+        x = jax.nn.relu(x)
+        t = x.shape[1]
+        if lengths is not None:
+            mask = _length_mask(
+                jnp.clip((lengths - self.kernel_size) // self.stride + 1,
+                         1, t), t)
+            x = x * mask[..., None]
+        h = _GLNBDT(self.enc_channels, name="enc_ln")(x)
+        seg = _split_unfold(h, self.chunk)
+        for i in range(self.n_layers):
+            bb, s, k, n = seg.shape
+            intra = _ImprovedTransformer(
+                self.enc_channels, self.heads, self.hidden, True,
+                name=f"row_{i}")(seg.reshape(bb * s, k, n))
+            seg = intra.reshape(bb, s, k, n)
+            inter_in = seg.transpose(0, 2, 1, 3).reshape(bb * k, s, n)
+            inter = _ImprovedTransformer(
+                self.enc_channels, self.heads, self.hidden,
+                self.bidirectional, name=f"col_{i}")(inter_in)
+            seg = inter.reshape(bb, k, s, n).transpose(0, 2, 1, 3)
+        seg = _PReLU(name="prelu")(seg)
+        seg = nn.Dense(self.enc_channels * self.num_spks,
+                       name="spk_expand")(seg)
+        s, k = seg.shape[1], seg.shape[2]
+        seg = seg.reshape(b, s, k, self.num_spks, self.enc_channels)
+        seg = seg.transpose(0, 3, 1, 2, 4).reshape(
+            b * self.num_spks, s, k, self.enc_channels)
+        m = _merge_fold(seg, t)
+        m = (jnp.tanh(nn.Dense(self.enc_channels, name="out_tanh")(m))
+             * jax.nn.sigmoid(nn.Dense(self.enc_channels,
+                                       name="out_sig")(m)))
+        m = jax.nn.relu(m).reshape(b, self.num_spks, t, self.enc_channels)
+        dec = nn.ConvTranspose(1, (self.kernel_size,),
+                               strides=(self.stride,), padding="VALID",
+                               use_bias=False, name="decoder")
+        return _mask_decode(x, m.transpose(0, 2, 1, 3), dec,
+                            self.num_spks, t_in)
 
 
 class _SkiMSegLSTM(nn.Module):

@@ -483,3 +483,87 @@ def convert_dprnn(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_dprnn: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_dptnet(state_dict: dict) -> dict:
+    """Reference DPTNetModel torch state dict (dptnet.py:401-733) →
+    {'params': ...} for models/zoo.py::DPTNet.
+
+    MHA keeps torch's packed layout verbatim (in_proj_weight (3N,N) →
+    in_w, out_proj.weight (N,N) → out_w — zoo._TorchMHA applies x@W.T);
+    LSTMs use the same packing map as convert_dprnn; gLN (1,N,1)
+    gamma/beta squeeze to (N,).
+    """
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def gln(dst, stem):
+        _set(tree, f"{dst}/gamma", to_numpy(take(f"{stem}.gamma"))[0, :, 0])
+        _set(tree, f"{dst}/beta", to_numpy(take(f"{stem}.beta"))[0, :, 0])
+
+    def dense(dst, stem, bias=True):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 4:
+            w = w[..., 0, 0]
+        elif w.ndim == 3:
+            w = w[..., 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        if bias:
+            _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def lstm(dst, stem):
+        dirs = [("fwd", "")]
+        if f"{stem}.weight_ih_l0_reverse" in sd:
+            dirs.append(("bwd", "_reverse"))
+        for name, suf in dirs:
+            _set(tree, f"{dst}/{name}_wi",
+                 to_numpy(take(f"{stem}.weight_ih_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_wh",
+                 to_numpy(take(f"{stem}.weight_hh_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_bi",
+                 to_numpy(take(f"{stem}.bias_ih_l0{suf}")))
+            _set(tree, f"{dst}/{name}_bh",
+                 to_numpy(take(f"{stem}.bias_hh_l0{suf}")))
+
+    def improved(dst, stem):
+        _set(tree, f"{dst}/self_attn/in_w",
+             to_numpy(take(f"{stem}.self_attn.in_proj_weight")))
+        _set(tree, f"{dst}/self_attn/in_b",
+             to_numpy(take(f"{stem}.self_attn.in_proj_bias")))
+        _set(tree, f"{dst}/self_attn/out_w",
+             to_numpy(take(f"{stem}.self_attn.out_proj.weight")))
+        _set(tree, f"{dst}/self_attn/out_b",
+             to_numpy(take(f"{stem}.self_attn.out_proj.bias")))
+        gln(f"{dst}/norm_attn", f"{stem}.norm_attn")
+        lstm(f"{dst}/rnn", f"{stem}.rnn")
+        dense(f"{dst}/ff", f"{stem}.feed_forward.2")
+        gln(f"{dst}/norm_ff", f"{stem}.norm_ff")
+
+    tree: dict = {}
+    enc = convert_conv1d(take("encoder.conv1d.weight"))
+    _set(tree, "encoder/kernel", enc["kernel"])
+    gln("enc_ln", "separator.enc_LN")
+
+    n_layers = 1 + max(int(m.group(1)) for k in sd if (m := re.match(
+        r"separator\.dptnet\.row_transformer\.(\d+)\.", k)))
+    for i in range(n_layers):
+        improved(f"row_{i}", f"separator.dptnet.row_transformer.{i}")
+        improved(f"col_{i}", f"separator.dptnet.col_transformer.{i}")
+
+    _set(tree, "prelu/alpha",
+         to_numpy(take("separator.dptnet.output.0.weight")))
+    dense("spk_expand", "separator.dptnet.output.1")
+    dense("out_tanh", "separator.output.0")
+    dense("out_sig", "separator.output_gate.0")
+    dec = convert_conv_transpose1d(take("decoder.convtrans1d.weight"))
+    _set(tree, "decoder/kernel", dec["kernel"])
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_dptnet: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

@@ -53,6 +53,25 @@ def _install_rotary_stub():
     sys.modules.setdefault("rotary_embedding_torch", mod)
 
 
+def _install_torch_complex_stub():
+    """dptnet.py imports torch_complex's ComplexTensor only for an
+    isinstance check on complex spectra (its audio path never builds
+    one); a minimal stand-in lets the module import."""
+    import torch
+
+    class ComplexTensor:  # never instantiated by the audio path
+        pass
+
+    tc = type(sys)("torch_complex")
+    tc.functional = type(sys)("torch_complex.functional")
+    tensor_mod = type(sys)("torch_complex.tensor")
+    tensor_mod.ComplexTensor = ComplexTensor
+    tc.tensor = tensor_mod
+    sys.modules.setdefault("torch_complex", tc)
+    sys.modules.setdefault("torch_complex.functional", tc.functional)
+    sys.modules.setdefault("torch_complex.tensor", tensor_mod)
+
+
 def load_reference_models():
     """→ the reference `look2hear.models` modules dict, or None if the
     reference tree / torch are unavailable (tests skip then)."""
@@ -66,6 +85,7 @@ def load_reference_models():
     except ImportError:
         return None
     _install_rotary_stub()
+    _install_torch_complex_stub()
     # synthetic package entries with __path__ pointing into the reference
     # tree: submodules import normally (relative imports work) without
     # executing look2hear/__init__.py, which drags in unavailable deps
@@ -74,6 +94,8 @@ def load_reference_models():
         ("look2hear", os.path.join(REFERENCE_ROOT, "look2hear")),
         ("look2hear.models",
          os.path.join(REFERENCE_ROOT, "look2hear", "models")),
+        ("look2hear.utils",
+         os.path.join(REFERENCE_ROOT, "look2hear", "utils")),
     ):
         if pkg not in sys.modules:
             mod = type(sys)(pkg)
@@ -82,6 +104,6 @@ def load_reference_models():
             sys.modules[pkg] = mod
     mods = {}
     for name in ("mossformer2", "mossformer_block", "fsmn", "conv_module",
-                 "apollo", "ConvTasnet", "dprnn"):
+                 "apollo", "ConvTasnet", "dprnn", "dptnet"):
         mods[name] = importlib.import_module(f"look2hear.models.{name}")
     return mods

@@ -295,3 +295,56 @@ class TestDPRNNFullPort:
         assert got.shape == want.shape
         err = np.abs(got - want).max()
         assert err < 2e-5, f"forward mismatch {err}"
+
+
+class TestDPTNetFullPort:
+    """End-to-end DPTNet weight port against the actual reference torch
+    module (dptnet.py:401-733) at tiny geometry — proves the torch
+    MultiheadAttention packed-projection map on top of the LSTM packing
+    shared with DPRNN."""
+
+    def test_forward_parity_tiny_geometry(self):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        from reference_torch import load_reference_models
+        from targetdiarization_tpu.models.zoo import DPTNet
+        from targetdiarization_tpu.runtime.port_rules import convert_dptnet
+
+        mods = load_reference_models()
+        if mods is None:
+            pytest.skip("reference tree or torch unavailable")
+        torch.manual_seed(0)
+        d = mods["dptnet"]
+        ref = d.DPTNetModel(
+            encoder=d.ConvEncoder(channel=16, kernel_size=16, stride=8),
+            separator=d.DPTNetSeparator(
+                input_dim=16, post_enc_relu=True, rnn_type="lstm",
+                bidirectional=True, num_spk=2, unit=20, att_heads=4,
+                layer=2, segment_size=20),
+            decoder=d.ConvDecoder(channel=16, kernel_size=16, stride=8))
+        ref.eval()
+        params = convert_dptnet(
+            {k: v.detach() for k, v in ref.state_dict().items()})
+        model = DPTNet(enc_channels=16, hidden=20, heads=4,
+                       kernel_size=16, stride=8, chunk=20, n_layers=2,
+                       num_spks=2, bidirectional=True)
+
+        t = 1600  # (T-1)*stride + k == T exactly: decoder needs no pad
+        tpl = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((2, t))))
+        assert ({jtu.keystr(p) for p, _ in jtu.tree_leaves_with_path(tpl)}
+                == {jtu.keystr(p) for p, _ in
+                    jtu.tree_leaves_with_path(params)})
+
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal((2, t)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(wav)).numpy()  # (B, spk, T)
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply(
+                jtu.tree_map(jnp.asarray, params), jnp.asarray(wav)))
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 2e-5, f"forward mismatch {err}"

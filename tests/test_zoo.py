@@ -14,7 +14,7 @@ TINY = {
                        n_blocks=2, n_repeats=1),
     "DPRNNTasNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20,
                         n_layers=1),
-    "DPTNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20, n_layers=1),
+    "DPTNet": dict(enc_channels=16, hidden=16, chunk=20, n_layers=1),
     "SkiMNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20, n_layers=1),
     "SuDORMRF": dict(enc_channels=16, dim=16, n_blocks=1),
     "TDANet": dict(enc_channels=16, dim=16, depth=2, n_blocks=1),
