@@ -781,58 +781,123 @@ class TDANet(nn.Module):
 # ---------------- BSRNN ----------------
 
 
+class _ResRNN(nn.Module):
+    """Reference bsrnn.py ResRNN: GroupNorm(1) → BiLSTM → Linear, with a
+    residual around the whole block. Channels-last (B, T, dim)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = _GLNBDT(self.dim, name="norm")(x)
+        h = _TorchLSTM(self.hidden, True, name="rnn")(h)
+        return x + nn.Dense(self.dim, name="proj")(h)
+
+
+class _GroupedDense(nn.Module):
+    """torch Conv1d(groups·in → groups·out, 1, groups=groups) with
+    torch's channel-major group layout preserved exactly."""
+
+    groups: int
+    in_per: int
+    out_per: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, groups·in_per)
+        w = self.param("w", nn.initializers.lecun_normal(),
+                       (self.groups, self.in_per, self.out_per))
+        b = self.param("b", nn.initializers.zeros,
+                       (self.groups, self.out_per))
+        bs, t, _ = x.shape
+        h = x.reshape(bs, t, self.groups, self.in_per)
+        h = jnp.einsum("btgi,gio->btgo", h, w) + b
+        return h.reshape(bs, t, self.groups * self.out_per)
+
+
+def bsrnn_band_widths(sample_rate: int, enc_dim: int) -> list:
+    """The reference's music band plan (bsrnn.py:63-73): 20×50 Hz,
+    10×100 Hz, 8×250 Hz, 8×500 Hz, remainder tail."""
+    import numpy as _np
+
+    widths = []
+    for hz, n in ((50, 20), (100, 10), (250, 8), (500, 8)):
+        widths += [int(_np.floor(hz / (sample_rate / 2.0) * enc_dim))] * n
+    widths.append(enc_dim - int(_np.sum(widths)))
+    return widths
+
+
 @register_model(name="BSRNN")
 class BSRNN(nn.Module):
-    """Band-split RNN over STFT bands (Yu et al. 2022): uniform band
-    split, per-band bottleneck, alternating band/time BiLSTMs, per-band
-    complex mask heads."""
+    """Band-split RNN (Yu et al. 2022), faithful to the reference graph
+    (bsrnn.py:50-179): torch-compatible STFT, the reference's 47-band
+    music split, per-band GroupNorm+1×1 bottleneck, num_repeat BSNet
+    layers (band-time ResRNN + band-comm ResRNN), per-band grouped-conv
+    mask heads with tanh×sigmoid gating and the sum-to-one mask
+    normalization, complex mask multiply, iSTFT. Loadable from a
+    reference torch checkpoint via port_rules.convert_bsrnn (forward
+    parity in tests/test_convert.py). Returns (B, num_output, T)."""
 
-    n_fft: int = 512
-    hop: int = 128
-    n_bands: int = 16
-    dim: int = 64
-    hidden: int = 128
-    n_layers: int = 4
-    num_spks: int = 2
-    sample_rate: int = 16000
+    sample_rate: int = 44100
+    win: int = 2048
+    stride: int = 512
+    feature_dim: int = 128
+    num_repeat: int = 12
+    num_output: int = 4
+    # zoo-contract alias: the separator API reads num_spks
+    num_spks: int = 4
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
         b, t_in = wav.shape
-        spec = stft(wav, self.n_fft, self.hop)  # (B, F, T)
-        f, tt = spec.shape[1], spec.shape[2]
-        bw = f // self.n_bands
-        used = bw * self.n_bands
-        bands = spec[:, :used].reshape(b, self.n_bands, bw, tt)
-        feats = jnp.concatenate([bands.real, bands.imag], axis=2)  # (B, K, 2bw, T)
-        kern = self.param("band_in_w", nn.initializers.lecun_normal(),
-                          (self.n_bands, 2 * bw, self.dim))
-        h = jnp.einsum("bkct,kcd->bktd", feats, kern)  # (B, K, T, D)
-        for i in range(self.n_layers):
-            # time RNN per band
-            ht = _BiRNN(self.hidden, name=f"time_rnn_{i}")(
-                h.reshape(b * self.n_bands, tt, self.dim))
-            h = h + nn.Dense(self.dim, name=f"time_proj_{i}")(ht).reshape(
-                b, self.n_bands, tt, self.dim)
-            # band RNN per frame
-            hb = h.transpose(0, 2, 1, 3).reshape(b * tt, self.n_bands, self.dim)
-            hb = _BiRNN(self.hidden, name=f"band_rnn_{i}")(hb)
-            hb = nn.Dense(self.dim, name=f"band_proj_{i}")(hb)
-            h = h + hb.reshape(b, tt, self.n_bands, self.dim).transpose(0, 2, 1, 3)
-        out_k = self.param("band_out_w", nn.initializers.lecun_normal(),
-                           (self.n_bands, self.dim, 2 * bw * self.num_spks * 2))
-        o = jnp.einsum("bktd,kdc->bktc", nn.LayerNorm(name="out_ln")(h), out_k)
-        o = o.reshape(b, self.n_bands, tt, self.num_spks, 2, 2 * bw)
-        # complex mask (real ‖ imag halves) with GLU-style sigmoid gate
-        mask_c = (o[..., 0, :bw] + 1j * o[..., 0, bw:]) * jax.nn.sigmoid(
-            o[..., 1, :bw])
-        est_bands = bands[:, :, None] * mask_c.transpose(0, 1, 3, 4, 2)
-        est = est_bands.transpose(0, 2, 1, 3, 4).reshape(
-            b, self.num_spks, used, tt)
-        full = jnp.pad(est, ((0, 0), (0, 0), (0, f - used), (0, 0)))
-        wavs = istft(full.reshape(b * self.num_spks, f, tt), self.n_fft,
-                     self.hop, length=t_in)
-        return wavs.reshape(b, self.num_spks, t_in)
+        enc_dim = self.win // 2 + 1
+        widths = bsrnn_band_widths(self.sample_rate, enc_dim)
+        assert min(widths) >= 1, (
+            f"BSRNN band plan degenerates at sr={self.sample_rate}, "
+            f"win={self.win}: {widths}")
+        nband, n, k = len(widths), self.feature_dim, self.num_output
+        spec = stft(wav, self.win, self.stride)  # (B, F, T) complex
+        tt = spec.shape[-1]
+        spec_t = jnp.swapaxes(spec, 1, 2)  # (B, T, F)
+        feats = []
+        bi = 0
+        for i, bw in enumerate(widths):
+            sb = spec_t[..., bi: bi + bw]
+            # torch stacks [real, imag] on a leading axis then flattens
+            # (B, 2, bw, T) → (B, 2·bw, T): real block first
+            ri = jnp.concatenate([sb.real, sb.imag], axis=-1)  # (B,T,2bw)
+            h = _GLNBDT(2 * bw, name=f"bn_{i}_norm")(ri)
+            feats.append(nn.Dense(n, name=f"bn_{i}_proj")(h))
+            bi += bw
+        h = jnp.stack(feats, axis=1)  # (B, nband, T, N)
+        for r in range(self.num_repeat):
+            y = _ResRNN(n, 2 * n, name=f"sep_{r}_band_rnn")(
+                h.reshape(b * nband, tt, n)).reshape(b, nband, tt, n)
+            z = y.transpose(0, 2, 1, 3).reshape(b * tt, nband, n)
+            z = _ResRNN(n, 2 * n, name=f"sep_{r}_band_comm")(z)
+            h = z.reshape(b, tt, nband, n).transpose(0, 2, 1, 3)
+        est_bands = []
+        bi = 0
+        for i, bw in enumerate(widths):
+            x = h[:, i]  # (B, T, N)
+            x = _GLNBDT(n, name=f"mask_{i}_norm")(x)
+            x = jnp.tanh(nn.Dense(n * k, name=f"mask_{i}_pre")(x))
+            x = jnp.tanh(_GroupedDense(k, n, 2 * n, name=f"mask_{i}_g1")(x))
+            x = _GroupedDense(k, 2 * n, 4 * bw, name=f"mask_{i}_g2")(x)
+            o = x.reshape(b, tt, 2, 2, k, bw)
+            m = o[:, :, 0] * jax.nn.sigmoid(o[:, :, 1])  # (B,T,2,K,bw)
+            mr, mi = m[:, :, 0], m[:, :, 1]  # (B,T,K,bw)
+            mr = mr - (jnp.sum(mr, axis=2, keepdims=True) - 1.0) / k
+            mi = mi - jnp.sum(mi, axis=2, keepdims=True) / k
+            sb = spec_t[..., bi: bi + bw][:, :, None]  # (B,T,1,bw)
+            est = ((sb.real * mr - sb.imag * mi)
+                   + 1j * (sb.real * mi + sb.imag * mr))
+            est_bands.append(est)
+            bi += bw
+        est = jnp.concatenate(est_bands, axis=-1)  # (B, T, K, F)
+        est = est.transpose(0, 2, 3, 1).reshape(b * k, enc_dim, tt)
+        wavs = istft(est, self.win, self.stride, length=t_in)
+        return wavs.reshape(b, k, t_in)
 
 
 # ---------------- TFGridNet ----------------

@@ -567,3 +567,81 @@ def convert_dptnet(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_dptnet: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_bsrnn(state_dict: dict) -> dict:
+    """Reference BSRNN torch state dict (bsrnn.py:50-179) →
+    {'params': ...} for models/zoo.py::BSRNN.
+
+    Grouped mask convs keep torch's channel-major group layout: weight
+    (groups·out, in, 1) → bank (groups, in, out); GroupNorm(1) affine →
+    _GLNBDT gamma/beta; LSTMs use the convert_dprnn packing.
+    """
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def gln(dst, stem):
+        _set(tree, f"{dst}/gamma", to_numpy(take(f"{stem}.weight")))
+        _set(tree, f"{dst}/beta", to_numpy(take(f"{stem}.bias")))
+
+    def dense(dst, stem):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 3:
+            w = w[..., 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def grouped(dst, stem, groups):
+        w = to_numpy(take(f"{stem}.weight"))[..., 0]  # (g·out, in)
+        out_per = w.shape[0] // groups
+        _set(tree, f"{dst}/w",
+             np.transpose(w.reshape(groups, out_per, -1), (0, 2, 1)))
+        _set(tree, f"{dst}/b",
+             to_numpy(take(f"{stem}.bias")).reshape(groups, out_per))
+
+    def lstm(dst, stem):
+        for name, suf in (("fwd", ""), ("bwd", "_reverse")):
+            if f"{stem}.weight_ih_l0{suf}" not in sd:
+                continue
+            _set(tree, f"{dst}/{name}_wi",
+                 to_numpy(take(f"{stem}.weight_ih_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_wh",
+                 to_numpy(take(f"{stem}.weight_hh_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_bi",
+                 to_numpy(take(f"{stem}.bias_ih_l0{suf}")))
+            _set(tree, f"{dst}/{name}_bh",
+                 to_numpy(take(f"{stem}.bias_hh_l0{suf}")))
+
+    tree: dict = {}
+    n_bands = 1 + max(int(m.group(1)) for k in sd
+                      if (m := re.match(r"BN\.(\d+)\.", k)))
+    num_output = None
+    for i in range(n_bands):
+        gln(f"bn_{i}_norm", f"BN.{i}.0")
+        dense(f"bn_{i}_proj", f"BN.{i}.1")
+    n_rep = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"separator\.(\d+)\.", k)))
+    for r in range(n_rep):
+        for part in ("band_rnn", "band_comm"):
+            stem = f"separator.{r}.{part}"
+            gln(f"sep_{r}_{part}/norm", f"{stem}.norm")
+            lstm(f"sep_{r}_{part}/rnn", f"{stem}.rnn")
+            dense(f"sep_{r}_{part}/proj", f"{stem}.proj")
+    for i in range(n_bands):
+        gln(f"mask_{i}_norm", f"mask.{i}.0")
+        dense(f"mask_{i}_pre", f"mask.{i}.1")
+        if num_output is None:
+            n_feat = sd[f"mask.{i}.1.weight"].shape[1]
+            num_output = sd[f"mask.{i}.1.weight"].shape[0] // n_feat
+        grouped(f"mask_{i}_g1", f"mask.{i}.3", num_output)
+        grouped(f"mask_{i}_g2", f"mask.{i}.5", num_output)
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_bsrnn: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

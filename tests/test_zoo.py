@@ -18,7 +18,8 @@ TINY = {
     "SkiMNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20, n_layers=1),
     "SuDORMRF": dict(enc_channels=16, dim=16, n_blocks=1),
     "TDANet": dict(enc_channels=16, dim=16, depth=2, n_blocks=1),
-    "BSRNN": dict(n_bands=4, dim=16, hidden=16, n_layers=1),
+    "BSRNN": dict(sample_rate=16000, win=2048, stride=512, feature_dim=8,
+              num_repeat=1, num_output=2, num_spks=2),
     "TFGridNet": dict(dim=8, hidden=16, n_layers=1),
     "MossFormer": dict(dim=32, enc_channels=32, num_blocks=1, group_size=64,
                        qk_dim=32),
