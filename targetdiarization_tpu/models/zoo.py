@@ -462,6 +462,7 @@ class _GLNBDT(nn.Module):
     Input here is channels-last (B, T, N) — same element set."""
 
     dim: int
+    eps: float = 1.1920929e-7
 
     @nn.compact
     def __call__(self, x):
@@ -469,7 +470,7 @@ class _GLNBDT(nn.Module):
         beta = self.param("beta", nn.initializers.zeros, (self.dim,))
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-        return gamma * (x - mean) / jnp.sqrt(var + 1.1920929e-7) + beta
+        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
 
 
 class _TorchMHA(nn.Module):
@@ -670,58 +671,114 @@ class SkiMNet(nn.Module):
 # ---------------- SuDoRM-RF ----------------
 
 
-class _UConvBlock(nn.Module):
-    """Successive downsampling + resampling block."""
+class _SuDOConvNorm(nn.Module):
+    """Reference ConvNorm/ConvNormAct/DilatedConvNorm (sudormrf.py:46-156):
+    conv (bias) → GlobLN(eps 1e-8) → optional PReLU."""
 
-    dim: int
+    nout: int
+    k: int = 1
+    stride: int = 1
+    groups: int = 1
+    act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.k - 1) // 2
+        h = nn.Conv(self.nout, (self.k,), strides=(self.stride,),
+                    padding=((p, p),), feature_group_count=self.groups,
+                    use_bias=True, name="conv")(x)
+        h = _GLNBDT(self.nout, eps=1e-8, name="norm")(h)
+        return _PReLU(name="act")(h) if self.act else h
+
+
+class _SuDOBlock(nn.Module):
+    """Reference UConvBlock (sudormrf.py:158-216): 1×1 expand, a
+    depthwise downsampling pyramid (k=5, stride 2), nearest-neighbour
+    upsample-and-add refolding, GlobLN+PReLU, 1×1 contract, residual."""
+
+    out_channels: int
+    in_channels: int
     depth: int = 4
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, T, D)
-        h = nn.Dense(self.dim * 2, name="expand")(x)
-        h = jax.nn.gelu(h)
-        downs = [h]
-        for i in range(self.depth):
-            h = nn.Conv(self.dim * 2, (5,), strides=(2,), padding="SAME",
-                        feature_group_count=1, name=f"down_{i}")(h)
-            h = jax.nn.gelu(h)
-            downs.append(h)
-        out = downs[-1]
-        for i in reversed(range(self.depth)):
-            up = jax.image.resize(out, downs[i].shape, "nearest")
-            out = up + downs[i]
-        return x + nn.Dense(self.dim, name="contract")(out)
+        residual = x
+        h = _SuDOConvNorm(self.in_channels, 1, act=True, name="proj_1x1")(x)
+        outs = [_SuDOConvNorm(self.in_channels, 5, 1, self.in_channels,
+                              name="spp_0")(h)]
+        for k in range(1, self.depth):
+            outs.append(_SuDOConvNorm(self.in_channels, 5, 2,
+                                      self.in_channels,
+                                      name=f"spp_{k}")(outs[-1]))
+        for _ in range(self.depth - 1):
+            up = jnp.repeat(outs.pop(), 2, axis=1)  # nearest ×2
+            outs[-1] = outs[-1] + up
+        h = _GLNBDT(self.in_channels, eps=1e-8, name="final_norm")(outs[-1])
+        h = _PReLU(name="final_act")(h)
+        return nn.Dense(self.out_channels, name="res_conv")(h) + residual
 
 
 @register_model(name="SuDORMRF")
 class SuDORMRF(nn.Module):
-    """Successive downsampling/resampling separator (Tzinis et al. 2020)."""
+    """Successive downsampling/resampling separator (Tzinis et al.
+    2020), faithful to the reference graph (sudormrf.py:219-330):
+    padded conv encoder, GlobLN + 1×1 bottleneck, U-ConvBlock stack,
+    PReLU+1×1 relu mask on the raw encoder, grouped transposed-conv
+    decode with the reference's padding/output_padding arithmetic.
+    Loadable from a reference torch checkpoint via
+    port_rules.convert_sudormrf (forward parity in tests/test_convert
+    .py). `lengths` masking is additive (GlobLN stats then include
+    padding) — exact at full length."""
 
-    enc_channels: int = 256
-    dim: int = 128
-    kernel_size: int = 16
-    n_blocks: int = 8
-    num_spks: int = 2
+    out_channels: int = 128     # bottleneck width
+    in_channels: int = 512      # U-block inner width
+    num_blocks: int = 16
+    upsampling_depth: int = 4
+    enc_kernel_size: int = 21
+    enc_num_basis: int = 512
+    num_sources: int = 2
     sample_rate: int = 16000
+
+    @property
+    def num_spks(self) -> int:
+        return self.num_sources
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
+        import math
+
         b, t_in = wav.shape
-        x = _EncDec.encode(wav, self.enc_channels, self.kernel_size)
+        k, s = self.enc_kernel_size, self.enc_kernel_size // 2
+        lcm = abs(s * 2 ** self.upsampling_depth) // math.gcd(
+            s, 2 ** self.upsampling_depth)
+        pad = (-t_in) % lcm
+        x = jnp.pad(wav, ((0, 0), (0, pad)))
+        x = nn.Conv(self.enc_num_basis, (k,), strides=(s,),
+                    padding=((s, s),), use_bias=False,
+                    name="encoder")(x[..., None])
         t = x.shape[1]
-        # pad time to multiple of 2^depth for clean pyramid resizes
-        pad = (-t) % 16
-        h0 = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        h = nn.Dense(self.dim, name="bottleneck")(nn.LayerNorm(name="in_ln")(h0))
-        for i in range(self.n_blocks):
-            h = _UConvBlock(self.dim, name=f"ucb_{i}")(h)
-        h = h[:, :t]
-        m = nn.Dense(self.enc_channels * self.num_spks, name="mask_out")(
-            jax.nn.relu(h))
-        m = jax.nn.relu(m).reshape(b, t, self.num_spks, self.enc_channels)
-        dec = _EncDec.decode_module(self.kernel_size)
-        return _mask_decode(x, m, dec, self.num_spks, t_in)
+        if lengths is not None:
+            mask = _length_mask(
+                jnp.clip((lengths + 2 * s - k) // s + 1, 1, t), t)
+            x = x * mask[..., None]
+        h = _GLNBDT(self.enc_num_basis, eps=1e-8, name="ln")(x)
+        h = nn.Dense(self.out_channels, name="bottleneck")(h)
+        for i in range(self.num_blocks):
+            h = _SuDOBlock(self.out_channels, self.in_channels,
+                           self.upsampling_depth, name=f"sm_{i}")(h)
+        h = _PReLU(name="mask_prelu")(h)
+        m = nn.Dense(self.num_sources * self.enc_num_basis,
+                     name="mask_conv")(h)
+        m = jax.nn.relu(
+            m.reshape(b, t, self.num_sources, self.enc_num_basis))
+        est = (m * x[:, :, None, :]).reshape(b, t, -1)
+        y = nn.ConvTranspose(self.num_sources, (k,), strides=(s,),
+                             padding="VALID", use_bias=False,
+                             name="decoder")(est)  # (B, L_full, spk)
+        # torch ConvTranspose1d(padding=s, output_padding=s-1): crop s
+        # from the left and s-(s-1)=1 from the right of the full output
+        y = y[:, s: y.shape[1] - 1]
+        return jnp.swapaxes(y, 1, 2)[..., :t_in]
 
 
 # ---------------- TDANet ----------------

@@ -645,3 +645,67 @@ def convert_bsrnn(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_bsrnn: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_sudormrf(state_dict: dict) -> dict:
+    """Reference SuDORMRF torch state dict (sudormrf.py:219-330) →
+    {'params': ...} for models/zoo.py::SuDORMRF."""
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def gln(dst, stem):
+        _set(tree, f"{dst}/gamma", to_numpy(take(f"{stem}.gamma")))
+        _set(tree, f"{dst}/beta", to_numpy(take(f"{stem}.beta")))
+
+    def dense(dst, stem):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 3:
+            w = w[..., 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def convnorm(dst, stem, act):
+        c = convert_conv1d(take(f"{stem}.conv.weight"),
+                           take(f"{stem}.conv.bias"))
+        _set(tree, f"{dst}/conv/kernel", c["kernel"])
+        _set(tree, f"{dst}/conv/bias", c["bias"])
+        gln(f"{dst}/norm", f"{stem}.norm")
+        if act:
+            _set(tree, f"{dst}/act/alpha",
+                 to_numpy(take(f"{stem}.act.weight")))
+
+    tree: dict = {}
+    enc = convert_conv1d(take("encoder.weight"))
+    _set(tree, "encoder/kernel", enc["kernel"])
+    gln("ln", "ln")
+    dense("bottleneck", "bottleneck")
+
+    n_blocks = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(r"sm\.(\d+)\.", k)))
+    depth = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"sm\.0\.spp_dw\.(\d+)\.", k)))
+    for i in range(n_blocks):
+        src = f"sm.{i}"
+        dst = f"sm_{i}"
+        convnorm(f"{dst}/proj_1x1", f"{src}.proj_1x1", act=True)
+        for k in range(depth):
+            convnorm(f"{dst}/spp_{k}", f"{src}.spp_dw.{k}", act=False)
+        gln(f"{dst}/final_norm", f"{src}.final_norm.norm")
+        _set(tree, f"{dst}/final_act/alpha",
+             to_numpy(take(f"{src}.final_norm.act.weight")))
+        dense(f"{dst}/res_conv", f"{src}.res_conv")
+
+    _set(tree, "mask_prelu/alpha", to_numpy(take("mask_net.0.weight")))
+    dense("mask_conv", "mask_net.1")
+    dec = convert_conv_transpose1d(take("decoder.weight"))
+    _set(tree, "decoder/kernel", dec["kernel"])
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_sudormrf: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}
