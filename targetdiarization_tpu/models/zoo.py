@@ -1061,71 +1061,118 @@ class MossFormer(nn.Module):
 # ---------------- A-FRCNN ----------------
 
 
-class _FRCNNBlock(nn.Module):
-    """One asynchronous fully-recurrent conv block: multi-scale pyramid
-    with bidirectional (top-down + bottom-up) fusion at every depth."""
+def _interp_nearest(x, size: int):
+    """torch F.interpolate(mode='nearest') on the time axis of a
+    channels-last (B, T, C) tensor: src = floor(dst * T / size)."""
+    t = x.shape[1]
+    idx = (jnp.arange(size) * t) // size
+    return x[:, idx]
 
-    dim: int
+
+class _AFRCNNBlock(nn.Module):
+    """Reference afrcnn.py Blocks (:157-237): 1×1 expand, depthwise k=5
+    stride-2 pyramid, asynchronous neighbour fusion (down(i−1) ‖ i ‖
+    nearest-up(i+1) → 1×1), all-level nearest collapse, 1×1 contract,
+    residual. Reuses _SuDOConvNorm — AFRCNN and SuDoRM-RF share the same
+    ConvNormAct/DilatedConvNorm primitives in the reference."""
+
+    out_channels: int
+    in_channels: int
     depth: int = 4
 
     @nn.compact
     def __call__(self, x):
-        # build the downsampled pyramid
-        levels = [x]
-        cur = x
-        for i in range(self.depth - 1):
-            cur = nn.Conv(self.dim, (5,), strides=(2,), padding="SAME",
-                          name=f"down_{i}")(cur)
-            cur = jax.nn.gelu(cur)
-            levels.append(cur)
-        # fuse every level with its neighbours (async cross-scale sum)
+        residual = x
+        c = self.in_channels
+        h = _SuDOConvNorm(c, 1, act=True, name="proj_1x1")(x)
+        outs = [_SuDOConvNorm(c, 5, 1, c, name="spp_0")(h)]
+        for k in range(1, self.depth):
+            outs.append(_SuDOConvNorm(c, 5, 2, c,
+                                      name=f"spp_{k}")(outs[-1]))
         fused = []
-        for i, lvl in enumerate(levels):
-            acc = lvl
-            if i > 0:
-                acc = acc + nn.Conv(self.dim, (5,), strides=(2,),
-                                    padding="SAME", name=f"n_down_{i}")(
-                    levels[i - 1])
-            if i < len(levels) - 1:
-                up = jax.image.resize(levels[i + 1], lvl.shape, "nearest")
-                acc = acc + nn.Dense(self.dim, name=f"n_up_{i}")(up)
-            fused.append(jax.nn.gelu(
-                nn.LayerNorm(name=f"ln_{i}")(acc)))
-        # collapse pyramid back to full resolution
-        out = fused[-1]
-        for i in reversed(range(len(fused) - 1)):
-            out = fused[i] + jax.image.resize(out, fused[i].shape, "nearest")
-        return x + nn.Dense(self.dim, name="out")(out)
+        for i in range(self.depth):
+            parts = []
+            if i - 1 >= 0:
+                parts.append(_SuDOConvNorm(c, 5, 2, c,
+                                           name=f"fuse_{i}")(outs[i - 1]))
+            parts.append(outs[i])
+            if i + 1 < self.depth:
+                parts.append(_interp_nearest(outs[i + 1],
+                                             outs[i].shape[1]))
+            y = jnp.concatenate(parts, axis=-1)
+            fused.append(_SuDOConvNorm(c, 1, act=True,
+                                       name=f"concat_{i}")(y))
+        full = outs[0].shape[1]
+        cat = jnp.concatenate(
+            [fused[0]] + [_interp_nearest(f, full) for f in fused[1:]],
+            axis=-1)
+        h = _SuDOConvNorm(c, 1, act=True, name="last")(cat)
+        return nn.Dense(self.out_channels, name="res_conv")(h) + residual
 
 
 @register_model(name="AFRCNN")
 class AFRCNN(nn.Module):
-    """Asynchronous fully recurrent convolutional network separator
-    (look2hear afrcnn.py:372): one FRCNN block iterated with shared
-    weights (the 'recurrent' axis), multi-scale inside each iteration."""
+    """Asynchronous fully recurrent CNN separator (Hu et al. 2021),
+    faithful to the reference graph (afrcnn.py:239-372): the SuDoRM-RF
+    front/back end (lcm padding, padded conv encoder, GlobLN + 1×1
+    bottleneck, PReLU+1×1 relu masks, padding/output_padding transposed-
+    conv decode) around a Recurrent separation module — ONE Blocks
+    module applied `num_blocks` times with shared weights, re-injecting
+    the bottleneck mixture through a depthwise-1×1+PReLU concat block on
+    every iteration after the first. Loadable from a reference torch
+    checkpoint via port_rules.convert_afrcnn (forward parity in
+    tests/test_convert.py)."""
 
-    enc_channels: int = 256
-    dim: int = 128
-    kernel_size: int = 16
-    n_iter: int = 4
-    depth: int = 4
-    num_spks: int = 2
+    out_channels: int = 128
+    in_channels: int = 512
+    num_blocks: int = 16       # recurrence count (shared weights)
+    upsampling_depth: int = 4
+    enc_kernel_size: int = 21
+    enc_num_basis: int = 512
+    num_sources: int = 2
     sample_rate: int = 16000
+
+    @property
+    def num_spks(self) -> int:
+        return self.num_sources
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
+        import math
+
         b, t_in = wav.shape
-        x = _EncDec.encode(wav, self.enc_channels, self.kernel_size)
+        k, s = self.enc_kernel_size, self.enc_kernel_size // 2
+        lcm = abs(s * 2 ** self.upsampling_depth) // math.gcd(
+            s, 2 ** self.upsampling_depth)
+        pad = (-t_in) % lcm
+        x = jnp.pad(wav, ((0, 0), (0, pad)))
+        x = nn.Conv(self.enc_num_basis, (k,), strides=(s,),
+                    padding=((s, s),), use_bias=False,
+                    name="encoder")(x[..., None])
         t = x.shape[1]
-        pad = (-t) % (2 ** self.depth)
-        h = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        h = nn.Dense(self.dim, name="bottleneck")(nn.LayerNorm(name="in_ln")(h))
-        block = _FRCNNBlock(self.dim, depth=self.depth, name="frcnn")
-        for _ in range(self.n_iter):  # shared weights across iterations
-            h = block(h)
-        h = h[:, :t]
-        m = nn.Dense(self.enc_channels * self.num_spks, name="mask_out")(
-            jax.nn.relu(h))
-        m = jax.nn.relu(m).reshape(b, t, self.num_spks, self.enc_channels)
-        dec = _EncDec.decode_module(self.kernel_size)
-        return _mask_decode(x, m, dec, self.num_spks, t_in)
+        if lengths is not None:
+            mask = _length_mask(
+                jnp.clip((lengths + 2 * s - k) // s + 1, 1, t), t)
+            x = x * mask[..., None]
+        h = _GLNBDT(self.enc_num_basis, eps=1e-8, name="ln")(x)
+        h = nn.Dense(self.out_channels, name="bottleneck")(h)
+        block = _AFRCNNBlock(self.out_channels, self.in_channels,
+                             self.upsampling_depth, name="blocks")
+        concat_conv = nn.Conv(self.out_channels, (1,),
+                              feature_group_count=self.out_channels,
+                              use_bias=True, name="concat_conv")
+        concat_act = _PReLU(name="concat_act")
+        mixture = h
+        for i in range(self.num_blocks):  # shared weights (Recurrent)
+            h = block(h if i == 0 else concat_act(concat_conv(mixture + h)))
+        h = _PReLU(name="mask_prelu")(h)
+        m = nn.Dense(self.num_sources * self.enc_num_basis,
+                     name="mask_conv")(h)
+        m = jax.nn.relu(
+            m.reshape(b, t, self.num_sources, self.enc_num_basis))
+        est = (m * x[:, :, None, :]).reshape(b, t, -1)
+        y = nn.ConvTranspose(self.num_sources, (k,), strides=(s,),
+                             padding="VALID", use_bias=False,
+                             name="decoder")(est)
+        y = y[:, s: y.shape[1] - 1]
+        return jnp.swapaxes(y, 1, 2)[..., :t_in]

@@ -709,3 +709,74 @@ def convert_sudormrf(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_sudormrf: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_afrcnn(state_dict: dict) -> dict:
+    """Reference AFRCNN torch state dict (afrcnn.py:239-372) →
+    {'params': ...} for models/zoo.py::AFRCNN. The Recurrent module's
+    single shared Blocks maps once; iteration count is a construction
+    arg (num_blocks), not a weight."""
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def gln(dst, stem):
+        _set(tree, f"{dst}/gamma", to_numpy(take(f"{stem}.gamma")))
+        _set(tree, f"{dst}/beta", to_numpy(take(f"{stem}.beta")))
+
+    def dense(dst, stem):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 3:
+            w = w[..., 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def convnorm(dst, stem, act):
+        c = convert_conv1d(take(f"{stem}.conv.weight"),
+                           take(f"{stem}.conv.bias"))
+        _set(tree, f"{dst}/conv/kernel", c["kernel"])
+        _set(tree, f"{dst}/conv/bias", c["bias"])
+        gln(f"{dst}/norm", f"{stem}.norm")
+        if act:
+            _set(tree, f"{dst}/act/alpha",
+                 to_numpy(take(f"{stem}.act.weight")))
+
+    tree: dict = {}
+    enc = convert_conv1d(take("encoder.weight"))
+    _set(tree, "encoder/kernel", enc["kernel"])
+    gln("ln", "ln")
+    dense("bottleneck", "bottleneck")
+
+    blk = "sm.blocks"
+    depth = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"sm\.blocks\.spp_dw\.(\d+)\.", k)))
+    convnorm("blocks/proj_1x1", f"{blk}.proj_1x1", act=True)
+    for k in range(depth):
+        convnorm(f"blocks/spp_{k}", f"{blk}.spp_dw.{k}", act=False)
+    for i in range(1, depth):
+        convnorm(f"blocks/fuse_{i}", f"{blk}.fuse_layers.{i}.0", act=False)
+    for i in range(depth):
+        convnorm(f"blocks/concat_{i}", f"{blk}.concat_layer.{i}", act=True)
+    convnorm("blocks/last", f"{blk}.last_layer.0", act=True)
+    dense("blocks/res_conv", f"{blk}.res_conv")
+
+    cc = convert_conv1d(take("sm.concat_block.0.weight"),
+                        take("sm.concat_block.0.bias"))
+    _set(tree, "concat_conv/kernel", cc["kernel"])
+    _set(tree, "concat_conv/bias", cc["bias"])
+    _set(tree, "concat_act/alpha",
+         to_numpy(take("sm.concat_block.1.weight")))
+
+    _set(tree, "mask_prelu/alpha", to_numpy(take("mask_net.0.weight")))
+    dense("mask_conv", "mask_net.1")
+    dec = convert_conv_transpose1d(take("decoder.weight"))
+    _set(tree, "decoder/kernel", dec["kernel"])
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_afrcnn: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

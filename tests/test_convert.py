@@ -445,3 +445,51 @@ class TestSuDORMRFFullPort:
         assert got.shape == want.shape
         err = np.abs(got - want).max()
         assert err < 2e-5, f"forward mismatch {err}"
+
+
+class TestAFRCNNFullPort:
+    """End-to-end AFRCNN weight port against the actual reference torch
+    module (afrcnn.py:239-372) at tiny geometry — covers the recurrent
+    shared-weight Blocks and the asynchronous neighbour fusion."""
+
+    def test_forward_parity_tiny_geometry(self):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        from reference_torch import load_reference_models
+        from targetdiarization_tpu.models.zoo import AFRCNN
+        from targetdiarization_tpu.runtime.port_rules import convert_afrcnn
+
+        mods = load_reference_models()
+        if mods is None:
+            pytest.skip("reference tree or torch unavailable")
+        torch.manual_seed(0)
+        ref = mods["afrcnn"].AFRCNN(
+            out_channels=8, in_channels=16, num_blocks=3,
+            upsampling_depth=2, enc_kernel_size=5, enc_num_basis=16,
+            num_sources=2)
+        ref.eval()
+        params = convert_afrcnn(
+            {k: v.detach() for k, v in ref.state_dict().items()})
+        model = AFRCNN(out_channels=8, in_channels=16, num_blocks=3,
+                       upsampling_depth=2, enc_kernel_size=5,
+                       enc_num_basis=16, num_sources=2)
+
+        t = 1600
+        tpl = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((2, t))))
+        assert ({jtu.keystr(p) for p, _ in jtu.tree_leaves_with_path(tpl)}
+                == {jtu.keystr(p) for p, _ in
+                    jtu.tree_leaves_with_path(params)})
+
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal((2, t)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(wav)).numpy()
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply(
+                jtu.tree_map(jnp.asarray, params), jnp.asarray(wav)))
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 2e-5, f"forward mismatch {err}"

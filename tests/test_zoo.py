@@ -24,7 +24,8 @@ TINY = {
     "TFGridNet": dict(dim=8, hidden=16, n_layers=1),
     "MossFormer": dict(dim=32, enc_channels=32, num_blocks=1, group_size=64,
                        qk_dim=32),
-    "AFRCNN": dict(enc_channels=16, dim=16, n_iter=2, depth=2),
+    "AFRCNN": dict(out_channels=8, in_channels=16, num_blocks=2,
+               upsampling_depth=2, enc_kernel_size=5, enc_num_basis=16),
 }
 
 
