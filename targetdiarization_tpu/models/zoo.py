@@ -680,13 +680,14 @@ class _SuDOConvNorm(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         p = (self.k - 1) // 2
         h = nn.Conv(self.nout, (self.k,), strides=(self.stride,),
                     padding=((p, p),), feature_group_count=self.groups,
-                    use_bias=True, name="conv")(x)
+                    use_bias=self.use_bias, name="conv")(x)
         h = _GLNBDT(self.nout, eps=1e-8, name="norm")(h)
         return _PReLU(name="act")(h) if self.act else h
 
@@ -784,55 +785,180 @@ class SuDORMRF(nn.Module):
 # ---------------- TDANet ----------------
 
 
+def _adaptive_avg_pool(x, size: int):
+    """torch F.adaptive_avg_pool1d for exact-multiple lengths (the only
+    case TDANet's lcm padding produces), channels-last (B, T, C)."""
+    t = x.shape[1]
+    assert t % size == 0, f"adaptive pool {t}->{size} not exact"
+    return x.reshape(x.shape[0], size, t // size, x.shape[-1]).mean(axis=2)
+
+
+def _sinusoid_pe(t: int, dim: int, dtype):
+    """Reference tdanet.py PositionalEncoding buffer (:220-239)."""
+    import math
+
+    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * -(math.log(10000.0) / dim))
+    pe = jnp.zeros((t, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe.astype(dtype)
+
+
+class _TDAGlobalAttention(nn.Module):
+    """Reference tdanet.py GlobalAttention (:260-271): pre-LN + sinusoid
+    PE + torch MHA with the reference's residual quirk
+    (norm(out + dropout(out)) == norm(2·out) at eval — the residual uses
+    the attention OUTPUT, not the input), then a ConvNorm/dwconv Mlp."""
+
+    dim: int
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, N)
+        h = nn.LayerNorm(name="attn_in_norm")(x)
+        h = h + _sinusoid_pe(h.shape[1], self.dim, h.dtype)[None]
+        # reference quirk (tdanet.py:252-257): the (B, T, N) tensor is
+        # fed to seq-first nn.MultiheadAttention WITHOUT the (T, B, N)
+        # permute DPTNet does — torch therefore attends over the BATCH
+        # axis per time step; reproduced exactly
+        h = jnp.swapaxes(_TorchMHA(self.dim, self.heads, name="attn")(
+            jnp.swapaxes(h, 0, 1)), 0, 1)
+        h = nn.LayerNorm(name="attn_norm")(h + h)
+        x = x + h
+        m = _SuDOConvNorm(self.dim * 2, 1, use_bias=False,
+                          name="mlp_fc1")(x)
+        m = nn.Conv(self.dim * 2, (5,), padding=((2, 2),),
+                    feature_group_count=self.dim * 2, use_bias=True,
+                    name="mlp_dwconv")(m)
+        m = jax.nn.relu(m)
+        m = _SuDOConvNorm(self.dim, 1, use_bias=False, name="mlp_fc2")(m)
+        return x + m
+
+
+class _Injection(nn.Module):
+    """Reference InjectionMulti / InjectionMultiSum (:273-323): gated
+    local/global fusion with nearest interpolation of the global path.
+    Depthwise when inp == oup (the only configuration TDANet builds)."""
+
+    dim: int
+    k: int = 1
+    with_sum: bool = False
+
+    @nn.compact
+    def __call__(self, x_l, x_g):
+        t = x_l.shape[1]
+        local = _SuDOConvNorm(self.dim, self.k, groups=self.dim,
+                              use_bias=False, name="local_embedding")(x_l)
+        gate = _SuDOConvNorm(self.dim, self.k, groups=self.dim,
+                             use_bias=False, name="global_act")(x_g)
+        out = local * _interp_nearest(jax.nn.sigmoid(gate), t)
+        if self.with_sum:
+            glob = _SuDOConvNorm(self.dim, self.k, groups=self.dim,
+                                 use_bias=False,
+                                 name="global_embedding")(x_g)
+            out = out + _interp_nearest(glob, t)
+        return out
+
+
+class _TDABlock(nn.Module):
+    """Reference tdanet.py UConvBlock (:325-411): depthwise pyramid,
+    adaptive-avg-pooled global summary through GlobalAttention, per-level
+    gated injection, and the reference's exact top-down refold (including
+    its `x_fused[i-1]` seed at i == depth-2)."""
+
+    out_channels: int
+    in_channels: int
+    depth: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        c = self.in_channels
+        h = _SuDOConvNorm(c, 1, act=True, name="proj_1x1")(x)
+        outs = [_SuDOConvNorm(c, 5, 1, c, name="spp_0")(h)]
+        for k in range(1, self.depth):
+            outs.append(_SuDOConvNorm(c, 5, 2, c,
+                                      name=f"spp_{k}")(outs[-1]))
+        t_last = outs[-1].shape[1]
+        g = sum(_adaptive_avg_pool(f, t_last) for f in outs)
+        g = _TDAGlobalAttention(c, name="globalatt")(g)
+        fused = [_Injection(c, 1, with_sum=False, name=f"fus_{i}")(
+            outs[i], g) for i in range(self.depth)]
+        expanded = None
+        for i in range(self.depth - 2, -1, -1):
+            src = fused[i - 1] if i == self.depth - 2 else expanded
+            expanded = _Injection(c, 5, with_sum=True,
+                                  name=f"last_{i}")(fused[i], src)
+        return nn.Dense(self.out_channels, name="res_conv")(expanded) \
+            + residual
+
+
 @register_model(name="TDANet")
 class TDANet(nn.Module):
-    """Top-down attention pyramid separator (Li et al. 2023): multi-scale
-    encoder pyramid, a global top-down attention pass injecting the
-    coarsest summary into every scale, U-style fusion."""
+    """Top-down attention pyramid separator (Li et al. 2023), faithful
+    to the reference graph (tdanet.py:434-557): ms-denominated encoder
+    kernel (enc_kernel_size·sr/1000 samples, stride k/4, basis k/2+1),
+    the reference's pad_input scheme, GlobLN + 1×1 bottleneck, recurrent
+    shared-weight UConvBlocks with mixture re-injection, PReLU+1×1 relu
+    masks, transposed-conv decode with the reference's exact crop
+    arithmetic. Loadable from a reference torch checkpoint via
+    port_rules.convert_tdanet (forward parity in tests/test_convert.py)."""
 
-    enc_channels: int = 256
-    dim: int = 128
-    kernel_size: int = 16
-    depth: int = 4
-    n_blocks: int = 4
-    num_spks: int = 2
+    out_channels: int = 128
+    in_channels: int = 512
+    num_blocks: int = 16       # recurrence count (shared weights)
+    upsampling_depth: int = 4
+    enc_kernel_size: int = 21  # milliseconds (reference convention)
+    num_sources: int = 2
     sample_rate: int = 16000
+
+    @property
+    def num_spks(self) -> int:
+        return self.num_sources
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
         b, t_in = wav.shape
-        x = _EncDec.encode(wav, self.enc_channels, self.kernel_size)
+        k = self.enc_kernel_size * self.sample_rate // 1000
+        s = k // 4
+        basis = k // 2 + 1
+        # reference pad_input: end-pad `rest`, then (k - s) both sides
+        # (rest can equal k — the reference pads a full window then)
+        rest = k - (s + t_in % k) % k
+        x = jnp.pad(wav, ((0, 0), (k - s, rest + (k - s))))
+        x = nn.Conv(basis, (k,), strides=(s,), padding=((k // 2, k // 2),),
+                    use_bias=False, name="encoder")(x[..., None])
         t = x.shape[1]
-        pad = (-t) % (2 ** self.depth)
-        h = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        h = nn.Dense(self.dim, name="bottleneck")(nn.LayerNorm(name="in_ln")(h))
-        for blk in range(self.n_blocks):
-            # build pyramid
-            levels = [h]
-            cur = h
-            for i in range(self.depth):
-                cur = nn.Conv(self.dim, (5,), strides=(2,), padding="SAME",
-                              name=f"b{blk}_down_{i}")(cur)
-                cur = jax.nn.gelu(cur)
-                levels.append(cur)
-            # global summary attends back into each level (top-down)
-            g = jnp.mean(levels[-1], axis=1, keepdims=True)  # (B, 1, D)
-            fused = None
-            for i in reversed(range(len(levels))):
-                lvl = levels[i]
-                gate = nn.sigmoid(nn.Dense(self.dim, name=f"b{blk}_gate_{i}")(g))
-                lvl = lvl * gate
-                if fused is None:
-                    fused = lvl
-                else:
-                    fused = lvl + jax.image.resize(fused, lvl.shape, "nearest")
-            h = h + _TransformerLayer(self.dim, name=f"b{blk}_attn")(fused)
-        h = h[:, :t]
-        m = nn.Dense(self.enc_channels * self.num_spks, name="mask_out")(
-            jax.nn.relu(h))
-        m = jax.nn.relu(m).reshape(b, t, self.num_spks, self.enc_channels)
-        dec = _EncDec.decode_module(self.kernel_size)
-        return _mask_decode(x, m, dec, self.num_spks, t_in)
+        if lengths is not None:
+            mask = _length_mask(jnp.clip(
+                (lengths + 2 * (k - s) + 2 * (k // 2) - k) // s + 1,
+                1, t), t)
+            x = x * mask[..., None]
+        h = _GLNBDT(basis, eps=1e-8, name="ln")(x)
+        h = nn.Dense(self.out_channels, name="bottleneck")(h)
+        block = _TDABlock(self.out_channels, self.in_channels,
+                          self.upsampling_depth, name="unet")
+        concat_conv = nn.Conv(self.out_channels, (1,),
+                              feature_group_count=self.out_channels,
+                              use_bias=True, name="concat_conv")
+        concat_act = _PReLU(name="concat_act")
+        mixture = h
+        for i in range(self.num_blocks):
+            h = block(h if i == 0 else concat_act(concat_conv(mixture + h)))
+        h = _PReLU(name="mask_prelu")(h)
+        m = nn.Dense(self.num_sources * basis, name="mask_conv")(h)
+        m = jax.nn.relu(m.reshape(b, t, self.num_sources, basis))
+        est = (m * x[:, :, None, :]).reshape(b, t, -1)
+        y = nn.ConvTranspose(self.num_sources, (k,), strides=(s,),
+                             padding="VALID", use_bias=False,
+                             name="decoder")(est)
+        # torch decoder padding=k//2 crops k//2 both sides; then the
+        # forward crops [k-s : -(rest + k - s)]
+        y = y[:, k // 2: y.shape[1] - k // 2]
+        y = y[:, (k - s): y.shape[1] - (rest + (k - s))]
+        return jnp.swapaxes(y, 1, 2)[..., :t_in]
 
 
 # ---------------- BSRNN ----------------

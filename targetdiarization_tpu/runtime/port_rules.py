@@ -780,3 +780,104 @@ def convert_afrcnn(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_afrcnn: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_tdanet(state_dict: dict) -> dict:
+    """Reference TDANet torch state dict (tdanet.py:434-557) →
+    {'params': ...} for models/zoo.py::TDANet. The positional-encoding
+    `pe` buffer is deterministic and skipped."""
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def gln(dst, stem):
+        _set(tree, f"{dst}/gamma", to_numpy(take(f"{stem}.gamma")))
+        _set(tree, f"{dst}/beta", to_numpy(take(f"{stem}.beta")))
+
+    def dense(dst, stem):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 3:
+            w = w[..., 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def ln(dst, stem):
+        _set(tree, f"{dst}/scale", to_numpy(take(f"{stem}.weight")))
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def convnorm(dst, stem, act=False, bias=True):
+        c = convert_conv1d(
+            take(f"{stem}.conv.weight"),
+            take(f"{stem}.conv.bias") if bias else None)
+        _set(tree, f"{dst}/conv/kernel", c["kernel"])
+        if bias:
+            _set(tree, f"{dst}/conv/bias", c["bias"])
+        gln(f"{dst}/norm", f"{stem}.norm")
+        if act:
+            _set(tree, f"{dst}/act/alpha",
+                 to_numpy(take(f"{stem}.act.weight")))
+
+    def injection(dst, stem, with_sum):
+        convnorm(f"{dst}/local_embedding", f"{stem}.local_embedding",
+                 bias=False)
+        convnorm(f"{dst}/global_act", f"{stem}.global_act", bias=False)
+        if with_sum:
+            convnorm(f"{dst}/global_embedding", f"{stem}.global_embedding",
+                     bias=False)
+
+    tree: dict = {}
+    enc = convert_conv1d(take("encoder.weight"))
+    _set(tree, "encoder/kernel", enc["kernel"])
+    gln("ln", "ln")
+    dense("bottleneck", "bottleneck")
+
+    u = "sm.unet"
+    depth = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"sm\.unet\.spp_dw\.(\d+)\.", k)))
+    convnorm("unet/proj_1x1", f"{u}.proj_1x1", act=True)
+    for k in range(depth):
+        convnorm(f"unet/spp_{k}", f"{u}.spp_dw.{k}")
+    for i in range(depth):
+        injection(f"unet/fus_{i}", f"{u}.loc_glo_fus.{i}", with_sum=False)
+    for i in range(depth - 1):
+        injection(f"unet/last_{i}", f"{u}.last_layer.{i}", with_sum=True)
+
+    ga = f"{u}.globalatt"
+    ln("unet/globalatt/attn_in_norm", f"{ga}.attn.attn_in_norm")
+    _set(tree, "unet/globalatt/attn/in_w",
+         to_numpy(take(f"{ga}.attn.attn.in_proj_weight")))
+    _set(tree, "unet/globalatt/attn/in_b",
+         to_numpy(take(f"{ga}.attn.attn.in_proj_bias")))
+    _set(tree, "unet/globalatt/attn/out_w",
+         to_numpy(take(f"{ga}.attn.attn.out_proj.weight")))
+    _set(tree, "unet/globalatt/attn/out_b",
+         to_numpy(take(f"{ga}.attn.attn.out_proj.bias")))
+    ln("unet/globalatt/attn_norm", f"{ga}.attn.norm")
+    handled.add(f"{ga}.attn.pos_enc.pe")  # deterministic buffer
+    convnorm("unet/globalatt/mlp_fc1", f"{ga}.mlp.fc1", bias=False)
+    dw = convert_conv1d(take(f"{ga}.mlp.dwconv.weight"),
+                        take(f"{ga}.mlp.dwconv.bias"))
+    _set(tree, "unet/globalatt/mlp_dwconv/kernel", dw["kernel"])
+    _set(tree, "unet/globalatt/mlp_dwconv/bias", dw["bias"])
+    convnorm("unet/globalatt/mlp_fc2", f"{ga}.mlp.fc2", bias=False)
+    dense("unet/res_conv", f"{u}.res_conv")
+
+    cc = convert_conv1d(take("sm.concat_block.0.weight"),
+                        take("sm.concat_block.0.bias"))
+    _set(tree, "concat_conv/kernel", cc["kernel"])
+    _set(tree, "concat_conv/bias", cc["bias"])
+    _set(tree, "concat_act/alpha",
+         to_numpy(take("sm.concat_block.1.weight")))
+    _set(tree, "mask_prelu/alpha", to_numpy(take("mask_net.0.weight")))
+    dense("mask_conv", "mask_net.1")
+    dec = convert_conv_transpose1d(take("decoder.weight"))
+    _set(tree, "decoder/kernel", dec["kernel"])
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_tdanet: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

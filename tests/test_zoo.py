@@ -18,7 +18,8 @@ TINY = {
     "SkiMNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20, n_layers=1),
     "SuDORMRF": dict(out_channels=8, in_channels=16, num_blocks=1,
                  upsampling_depth=2, enc_kernel_size=5, enc_num_basis=16),
-    "TDANet": dict(enc_channels=16, dim=16, depth=2, n_blocks=1),
+    "TDANet": dict(out_channels=8, in_channels=16, num_blocks=2,
+               upsampling_depth=2, enc_kernel_size=2),
     "BSRNN": dict(sample_rate=16000, win=2048, stride=512, feature_dim=8,
               num_repeat=1, num_output=2, num_spks=2),
     "TFGridNet": dict(dim=8, hidden=16, n_layers=1),
