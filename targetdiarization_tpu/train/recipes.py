@@ -1639,7 +1639,13 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
     epochs over the finite corpus until alignment locks; phase 2
     switches to in-graph fresh synthesis (train/synth_device.py, the
     same generator that took the Paraformer to CER 0.0) which washes
-    out the memorization while alignment is already established."""
+    out the memorization while alignment is already established.
+
+    Shipped checkpoint (checkpoints/whisper-bootstrap, round 3): trained
+    with steps=14000, batch=16, seconds=4.0, phase1_steps=4000,
+    device_synth=True at the default 128-dim/3+2 geometry — NOT the
+    committed defaults (steps=3000, device_synth=False). Held-out
+    CER 0.050, 83.3% exact."""
     import jax
     import jax.numpy as jnp
     import optax
