@@ -614,41 +614,174 @@ class DPTNet(nn.Module):
                             self.num_spks, t_in)
 
 
+class _CLNBDT(nn.Module):
+    """Reference skim.py ChannelwiseLayerNorm (shape='BTD',
+    skim.py:184-221): per-frame mean/biased-var over channels,
+    eps = float32 machine eps. Input here is channels-last (B, T, C)."""
+
+    dim: int
+    eps: float = 1.1920929e-7
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+
+
+def _skim_norm(kind: str, dim: int, name: str):
+    """choose_norm for SkiM (skim.py:131-147): gLN or cLN, shape BTD."""
+    return (_GLNBDT if kind == "gLN" else _CLNBDT)(dim, name=name)
+
+
+class _StatefulTorchLSTM(nn.Module):
+    """One-layer torch-packed LSTM that threads explicit initial states
+    and returns final states — SkiM chains its per-segment LSTMs through
+    MemLSTMs via exactly these (h, c) tuples (skim.py:455-475). Same
+    parameter packing as _TorchLSTM (gate order i,f,g,o; separate
+    input/hidden biases) so the port_rules lstm() mapping applies."""
+
+    hidden: int
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x, h0, c0):  # x (B,T,N); h0,c0 (d,B,H)
+        def run(xs, name, h_init, c_init):
+            n = xs.shape[-1]
+            wi = self.param(f"{name}_wi", nn.initializers.lecun_normal(),
+                            (n, 4 * self.hidden))
+            wh = self.param(f"{name}_wh", nn.initializers.lecun_normal(),
+                            (self.hidden, 4 * self.hidden))
+            bi = self.param(f"{name}_bi", nn.initializers.zeros,
+                            (4 * self.hidden,))
+            bh = self.param(f"{name}_bh", nn.initializers.zeros,
+                            (4 * self.hidden,))
+            xg = xs @ wi + bi + bh
+
+            def step(carry, g_t):
+                h, c = carry
+                gates = g_t + h @ wh
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            (hf, cf), hs = jax.lax.scan(
+                step, (h_init, c_init), jnp.swapaxes(xg, 0, 1))
+            return jnp.swapaxes(hs, 0, 1), hf, cf
+
+        out, hf, cf = run(x, "fwd", h0[0], c0[0])
+        if not self.bidirectional:
+            return out, (hf[None], cf[None])
+        outb, hb, cb = run(x[:, ::-1], "bwd", h0[1], c0[1])
+        out = jnp.concatenate([out, outb[:, ::-1]], axis=-1)
+        return out, (jnp.stack([hf, hb]), jnp.stack([cf, cb]))
+
+
+class _SkiMSingleLSTM(nn.Module):
+    """Reference SingleLSTM (skim.py:15-58): zero-init LSTM + linear
+    projection back to the input width."""
+
+    hidden: int
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, x):
+        y = _TorchLSTM(self.hidden, self.bidirectional, name="lstm")(x)
+        return nn.Dense(x.shape[-1], name="proj")(y)
+
+
 class _SkiMSegLSTM(nn.Module):
-    """SkiM block: local segment LSTM + a memory LSTM over segment
-    boundary states only (the cost-saving idea of SkiM — inter-segment
-    information flows through S boundary states instead of K·S frames)."""
+    """Reference SegLSTM (skim.py:418-475): stateful LSTM over one
+    segment's frames, projection, residual + norm; passes (h, c) on."""
 
     dim: int
     hidden: int
+    bidirectional: bool
+    norm_type: str
 
     @nn.compact
-    def __call__(self, seg):
-        b, s, k, d = seg.shape
-        # local: one shared LSTM over every segment's frames
-        local = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="seg_rnn")(
-            seg.reshape(b * s, k, d))  # (B*S, K, H)
-        boundary = local[:, -1].reshape(b, s, self.hidden)  # last state per seg
-        # memory: LSTM across segments on boundary states
-        mem = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="mem_rnn")(boundary)
-        mem = nn.Dense(self.hidden, name="mem_proj")(mem)  # (B, S, H)
-        # inject segment memory into every frame of its segment
-        fused = local.reshape(b, s, k, self.hidden) + mem[:, :, None]
-        out = nn.Dense(d, name="proj")(fused)
-        return seg + nn.LayerNorm(name="ln")(out)
+    def __call__(self, x, hc):
+        out, hc_next = _StatefulTorchLSTM(
+            self.hidden, self.bidirectional, name="lstm")(x, *hc)
+        out = nn.Dense(self.dim, name="proj")(out)
+        return x + _skim_norm(self.norm_type, self.dim, "norm")(out), hc_next
+
+
+class _SkiMMemLSTM(nn.Module):
+    """Reference MemLSTM (skim.py:286-388): LSTMs across the S segment
+    boundary states of (h, c), residual + norm; in the causal
+    (unidirectional) setup each segment receives the *previous*
+    segment's memory (one-step shift with a zero first segment)."""
+
+    hidden: int
+    bidirectional: bool
+    mem_type: str
+    norm_type: str
+
+    @nn.compact
+    def __call__(self, h, c, s: int):
+        d = 2 if self.bidirectional else 1
+        dh = d * self.hidden
+        bs = h.shape[1]
+        b = bs // s
+        if self.mem_type != "id":
+            hB = h.transpose(1, 0, 2).reshape(b, s, dh)
+            cB = c.transpose(1, 0, 2).reshape(b, s, dh)
+            if self.mem_type in ("hc", "h"):
+                hB = hB + _skim_norm(self.norm_type, dh, "h_norm")(
+                    _SkiMSingleLSTM(self.hidden, self.bidirectional,
+                                    name="h_net")(hB))
+            if self.mem_type in ("hc", "c"):
+                cB = cB + _skim_norm(self.norm_type, dh, "c_norm")(
+                    _SkiMSingleLSTM(self.hidden, self.bidirectional,
+                                    name="c_net")(cB))
+            if self.mem_type == "h":
+                cB = jnp.zeros_like(cB)
+            if self.mem_type == "c":
+                hB = jnp.zeros_like(hB)
+            h = hB.reshape(bs, d, self.hidden).transpose(1, 0, 2)
+            c = cB.reshape(bs, d, self.hidden).transpose(1, 0, 2)
+        if not self.bidirectional:
+            def shift(x):
+                xB = x.transpose(1, 0, 2).reshape(b, s, dh)
+                xB = jnp.pad(xB, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+                return xB.reshape(bs, d, self.hidden).transpose(1, 0, 2)
+
+            h, c = shift(h), shift(c)
+        return h, c
 
 
 @register_model(name="SkiMNet")
 class SkiMNet(nn.Module):
-    """Skipping-memory LSTM separator (Li et al. 2022)."""
+    """Skipping-memory LSTM separator (Li et al. 2022), faithful to the
+    reference graph (skim.py:796-900): relu conv encoder; SkiM core =
+    segment LSTMs whose (h, c) states chain through boundary-state
+    MemLSTMs (skim.py:560-593), with the reference's always-pad-to-K
+    segmentation quirk (skim.py:595-601 pads a full extra segment when
+    T is already a multiple of K) and, for the non-causal/seg_overlap
+    mode, the 50%-overlap split/merge (skim.py:76-128); PReLU → 1×1
+    mask head; and the double encoder product reproduced verbatim —
+    the separator returns masked = e·m (skim.py:756) and the wrapper
+    then multiplies by e again (skim.py:887), so the decoder sees
+    e²·m. Loadable from a reference torch checkpoint via
+    port_rules.convert_skim (forward parity in tests/test_convert.py).
+    `lengths` zero-pads masked frames additively; norm statistics then
+    include the padding (the reference has no masking), so
+    bucket-padded outputs are approximate — exact at full length."""
 
-    enc_channels: int = 64
-    dim: int = 64
-    hidden: int = 128
+    enc_channels: int = 64       # input_dim
+    hidden: int = 128            # unit
     kernel_size: int = 16
-    chunk: int = 100
-    n_layers: int = 3
+    chunk: int = 150             # segment_size
+    n_layers: int = 3            # layer
     num_spks: int = 2
+    causal: bool = True
+    nonlinear: str = "relu"
+    mem_type: str = "hc"
+    seg_overlap: bool = False
     sample_rate: int = 16000
 
     @nn.compact
@@ -656,16 +789,47 @@ class SkiMNet(nn.Module):
         b, t_in = wav.shape
         x = _EncDec.encode(wav, self.enc_channels, self.kernel_size)
         t = x.shape[1]
-        h = nn.Dense(self.dim, name="bottleneck")(nn.LayerNorm(name="in_ln")(x))
-        seg, t_real = _segment(h, self.chunk)
+        if lengths is not None:
+            stride = max(self.kernel_size // 2, 1)
+            mask = _length_mask(
+                jnp.clip((lengths - self.kernel_size) // stride + 1, 1, t), t)
+            x = x * mask[..., None]
+        dim = self.enc_channels
+        bidir = not self.causal
+        norm_type = "cLN" if self.causal else "gLN"
+        k = self.chunk
+        if self.seg_overlap:
+            seg, gap = _segment_ref(x, k)              # (B, S, K, D)
+        else:
+            rest = k - t % k   # reference quirk: in (1..K], never 0
+            seg = jnp.pad(x, ((0, 0), (0, rest), (0, 0))).reshape(
+                b, -1, k, dim)
+        s = seg.shape[1]
+        out = seg.reshape(b * s, k, dim)
+        nd = 2 if bidir else 1
+        hc = (jnp.zeros((nd, b * s, self.hidden), x.dtype),
+              jnp.zeros((nd, b * s, self.hidden), x.dtype))
         for i in range(self.n_layers):
-            seg = _SkiMSegLSTM(self.dim, self.hidden, name=f"skim_{i}")(seg)
-        h = _overlap_add_segments(seg, t_real)
-        m = nn.Dense(self.enc_channels * self.num_spks, name="mask_out")(
-            jax.nn.relu(h))
-        m = jax.nn.relu(m).reshape(b, t, self.num_spks, self.enc_channels)
+            out, hc = _SkiMSegLSTM(dim, self.hidden, bidir, norm_type,
+                                   name=f"seg_{i}")(out, hc)
+            if self.mem_type and i < self.n_layers - 1:
+                hc = _SkiMMemLSTM(self.hidden, bidir, self.mem_type,
+                                  norm_type, name=f"mem_{i}")(
+                    hc[0], hc[1], s)
+        if self.seg_overlap:
+            merged = _over_add_ref(out.reshape(b, s, k, dim), gap)
+        else:
+            merged = out.reshape(b, s * k, dim)[:, :t]
+        merged = _PReLU(name="out_prelu")(merged)
+        proj = nn.Dense(dim * self.num_spks, name="out_conv")(merged)
+        nl = {"relu": jax.nn.relu, "sigmoid": jax.nn.sigmoid,
+              "tanh": jnp.tanh}[self.nonlinear]
+        m = nl(proj.reshape(b, t, dim, self.num_spks))
+        # double product: _mask_decode multiplies by x once more, so
+        # handing it e·m yields the reference's e²·m (skim.py:756, 887)
+        masks_eff = m.transpose(0, 1, 3, 2) * x[:, :, None, :]
         dec = _EncDec.decode_module(self.kernel_size)
-        return _mask_decode(x, m, dec, self.num_spks, t_in)
+        return _mask_decode(x, masks_eff, dec, self.num_spks, t_in)
 
 
 # ---------------- SuDoRM-RF ----------------

@@ -881,3 +881,82 @@ def convert_tdanet(state_dict: dict) -> dict:
         raise KeyError(
             f"convert_tdanet: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}
+
+
+def convert_skim(state_dict: dict) -> dict:
+    """Reference SkiMNet torch state dict (skim.py:796-900) →
+    {'params': ...} for models/zoo.py::SkiMNet.
+
+    SegLSTM states thread through the graph, so their LSTMs map to
+    _StatefulTorchLSTM (same packing as _TorchLSTM: weight_ih_l0
+    (4H, N) → fwd_wi (N, 4H) transposed, `_reverse` → bwd). The SkiM
+    norms store gamma/beta as (1, C, 1) — squeezed to (C,)."""
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def dense(dst, stem):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 3:          # Conv1d 1×1
+            w = w[..., 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def skim_norm(dst, stem):
+        _set(tree, f"{dst}/gamma",
+             to_numpy(take(f"{stem}.gamma")).reshape(-1))
+        _set(tree, f"{dst}/beta",
+             to_numpy(take(f"{stem}.beta")).reshape(-1))
+
+    def lstm(dst, stem):
+        dirs = [("fwd", "")]
+        if f"{stem}.weight_ih_l0_reverse" in sd:
+            dirs.append(("bwd", "_reverse"))
+        for name, suf in dirs:
+            _set(tree, f"{dst}/{name}_wi",
+                 to_numpy(take(f"{stem}.weight_ih_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_wh",
+                 to_numpy(take(f"{stem}.weight_hh_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_bi",
+                 to_numpy(take(f"{stem}.bias_ih_l0{suf}")))
+            _set(tree, f"{dst}/{name}_bh",
+                 to_numpy(take(f"{stem}.bias_hh_l0{suf}")))
+
+    tree: dict = {}
+    enc = convert_conv1d(take("encoder.conv1d.weight"))
+    _set(tree, "encoder/kernel", enc["kernel"])
+
+    skim = "separation.skim"
+    n_layers = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(
+                           rf"{re.escape(skim)}\.seg_lstms\.(\d+)\.", k)))
+    for i in range(n_layers):
+        src = f"{skim}.seg_lstms.{i}"
+        lstm(f"seg_{i}/lstm", f"{src}.lstm")
+        dense(f"seg_{i}/proj", f"{src}.proj")
+        skim_norm(f"seg_{i}/norm", f"{src}.norm")
+    for i in range(n_layers - 1):
+        src = f"{skim}.mem_lstms.{i}"
+        if f"{src}.h_net.rnn.weight_ih_l0" in sd:
+            lstm(f"mem_{i}/h_net/lstm", f"{src}.h_net.rnn")
+            dense(f"mem_{i}/h_net/proj", f"{src}.h_net.proj")
+            skim_norm(f"mem_{i}/h_norm", f"{src}.h_norm")
+        if f"{src}.c_net.rnn.weight_ih_l0" in sd:
+            lstm(f"mem_{i}/c_net/lstm", f"{src}.c_net.rnn")
+            dense(f"mem_{i}/c_net/proj", f"{src}.c_net.proj")
+            skim_norm(f"mem_{i}/c_norm", f"{src}.c_norm")
+
+    _set(tree, "out_prelu/alpha",
+         to_numpy(take(f"{skim}.output_fc.0.weight")))
+    dense("out_conv", f"{skim}.output_fc.1")
+    dec = convert_conv_transpose1d(take("decoder.weight"))
+    _set(tree, "decoder/kernel", dec["kernel"])
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_skim: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}

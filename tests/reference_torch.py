@@ -104,6 +104,7 @@ def load_reference_models():
             sys.modules[pkg] = mod
     mods = {}
     for name in ("mossformer2", "mossformer_block", "fsmn", "conv_module",
-                 "apollo", "ConvTasnet", "dprnn", "dptnet", "bsrnn", "sudormrf", "afrcnn", "tdanet"):
+                 "apollo", "ConvTasnet", "dprnn", "dptnet", "bsrnn",
+                 "sudormrf", "afrcnn", "tdanet", "skim"):
         mods[name] = importlib.import_module(f"look2hear.models.{name}")
     return mods

@@ -542,3 +542,61 @@ class TestTDANetFullPort:
         assert got.shape == want.shape
         err = np.abs(got - want).max()
         assert err < 2e-5, f"forward mismatch {err}"
+
+
+class TestSkiMFullPort:
+    """End-to-end SkiMNet weight port against the actual reference torch
+    module (skim.py:796-900) at tiny geometry — covers the stateful
+    SegLSTM→MemLSTM chaining, the causal one-segment memory shift, the
+    always-pad-to-K segmentation quirk, the 50%-overlap split/merge
+    mode, and the e²·mask double product."""
+
+    def _run(self, causal, seg_overlap, mem_type="hc"):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        from reference_torch import load_reference_models
+        from targetdiarization_tpu.models.zoo import SkiMNet
+        from targetdiarization_tpu.runtime.port_rules import convert_skim
+
+        mods = load_reference_models()
+        if mods is None:
+            pytest.skip("reference tree or torch unavailable")
+        torch.manual_seed(0)
+        kw = dict(input_dim=8, causal=causal, num_spk=2, nonlinear="relu",
+                  layer=2, unit=8, segment_size=10, dropout=0.0,
+                  mem_type=mem_type, seg_overlap=seg_overlap,
+                  kernel_size=4, sample_rate=16000)
+        ref = mods["skim"].SkiMNet(**kw)
+        ref.eval()
+        params = convert_skim(
+            {k: v.detach() for k, v in ref.state_dict().items()})
+        model = SkiMNet(enc_channels=8, hidden=8, kernel_size=4, chunk=10,
+                        n_layers=2, num_spks=2, causal=causal,
+                        nonlinear="relu", mem_type=mem_type,
+                        seg_overlap=seg_overlap)
+
+        t = 804  # not a multiple of anything interesting
+        tpl = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((2, t))))
+        assert ({jtu.keystr(p) for p, _ in jtu.tree_leaves_with_path(tpl)}
+                == {jtu.keystr(p) for p, _ in
+                    jtu.tree_leaves_with_path(params)})
+
+        rng = np.random.default_rng(1)
+        wav = (rng.standard_normal((2, t)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(wav)).numpy()
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply(
+                jtu.tree_map(jnp.asarray, params), jnp.asarray(wav)))
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 2e-5, f"forward mismatch {err}"
+
+    def test_causal_no_overlap(self):
+        self._run(causal=True, seg_overlap=False)
+
+    def test_bidirectional_seg_overlap(self):
+        self._run(causal=False, seg_overlap=True)

@@ -15,7 +15,7 @@ TINY = {
     "DPRNNTasNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20,
                         n_layers=1),
     "DPTNet": dict(enc_channels=16, hidden=16, chunk=20, n_layers=1),
-    "SkiMNet": dict(enc_channels=16, dim=16, hidden=16, chunk=20, n_layers=1),
+    "SkiMNet": dict(enc_channels=16, hidden=16, chunk=20, n_layers=2),
     "SuDORMRF": dict(out_channels=8, in_channels=16, num_blocks=1,
                  upsampling_depth=2, enc_kernel_size=5, enc_num_basis=16),
     "TDANet": dict(out_channels=8, in_channels=16, num_blocks=2,
