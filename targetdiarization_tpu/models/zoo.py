@@ -1250,48 +1250,215 @@ class BSRNN(nn.Module):
 # ---------------- TFGridNet ----------------
 
 
+class _LN4DCF(nn.Module):
+    """Reference LayerNormalization4DCF (TFGNet.py:735-756): normalize
+    over (C, F) per (B, T), biased variance, eps inside the sqrt;
+    affine gamma/beta (1,C,1,F) stored channels-last as (F, C).
+    Input here is (B, T, F, C)."""
+
+    dim: int
+    n_freqs: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones,
+                           (self.n_freqs, self.dim))
+        beta = self.param("beta", nn.initializers.zeros,
+                          (self.n_freqs, self.dim))
+        mu = jnp.mean(x, axis=(2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=(2, 3), keepdims=True)
+        return (x - mu) / jnp.sqrt(var + self.eps) * gamma + beta
+
+
+class _AllHeadPReLULN4DCF(nn.Module):
+    """Reference AllHeadPReLULayerNormalization4DCF (TFGNet.py:759-786):
+    per-head PReLU (num_parameters=H), then normalize over (E, F) per
+    (B, H, T); gamma/beta (1,H,E,1,F) stored channels-last as
+    (F, H, E). Input here is (B, T, F, H, E)."""
+
+    heads: int
+    e_dim: int
+    n_freqs: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25),
+                           (self.heads,))
+        a = alpha[None, None, None, :, None]
+        x = jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+        gamma = self.param("gamma", nn.initializers.ones,
+                           (self.n_freqs, self.heads, self.e_dim))
+        beta = self.param("beta", nn.initializers.zeros,
+                          (self.n_freqs, self.heads, self.e_dim))
+        mu = jnp.mean(x, axis=(2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=(2, 4), keepdims=True)
+        # x is (B,T,F,H,E); (F,H,E) params broadcast as (1,1,F,H,E)
+        return (x - mu) / jnp.sqrt(var + self.eps) * gamma + beta
+
+
+class _GridNetV2Block(nn.Module):
+    """Reference GridNetV2Block (TFGNet.py:539-732) in channels-last
+    (B, T, F, C): pad/unfold (channel-major windows) → BiLSTM →
+    transposed-conv refold for the intra (frequency) and inter (time)
+    paths, then full-band T×T softmax attention with per-head
+    PReLU-LayerNorm'd 1×1 Q/K/V heads and the (C,F)-normalized output
+    projection."""
+
+    emb_dim: int
+    emb_ks: int
+    emb_hs: int
+    n_freqs: int
+    hidden: int
+    n_head: int = 4
+    approx_qk_dim: int = 512
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        b, old_t, old_q, c = x.shape
+        ks, hs = self.emb_ks, self.emb_hs
+        olp = ks - hs
+        t_pad = -(-(old_t + 2 * olp - ks) // hs) * hs + ks
+        q_pad = -(-(old_q + 2 * olp - ks) // hs) * hs + ks
+        x = jnp.pad(x, ((0, 0), (olp, t_pad - old_t - olp),
+                        (olp, q_pad - old_q - olp), (0, 0)))
+
+        def unfold(seq):
+            # (N, L, C) → (N, n_win, C·ks), feature index c·ks + k —
+            # torch F.unfold's channel-major packing (TFGNet.py:656-659)
+            n, l, cc = seq.shape
+            nw = (l - ks) // hs + 1
+            parts = [seq[:, k: k + (nw - 1) * hs + 1: hs]
+                     for k in range(ks)]
+            w = jnp.stack(parts, axis=-1)           # (N, nw, C, ks)
+            return w.reshape(n, nw, cc * ks)
+
+        def path(h, n_outer, l, rnn_name, lin_name):
+            # h: (N_outer·?, L, C) sequence; returns (N_outer, L, C)
+            if ks == hs:
+                hh = h.reshape(h.shape[0], l // ks, ks * c)
+                hh = _TorchLSTM(self.hidden, True, name=rnn_name)(hh)
+                hh = nn.Dense(ks * c, name=lin_name)(hh)
+                return hh.reshape(h.shape[0], l, c)
+            hh = unfold(h)
+            hh = _TorchLSTM(self.hidden, True, name=rnn_name)(hh)
+            return nn.ConvTranspose(c, (ks,), strides=(hs,),
+                                    padding="VALID", name=lin_name)(hh)
+
+        # intra (over frequency)
+        h = nn.LayerNorm(epsilon=self.eps, name="intra_norm")(x)
+        h = path(h.reshape(b * t_pad, q_pad, c), b * t_pad, q_pad,
+                 "intra_rnn", "intra_linear")
+        x = x + h.reshape(b, t_pad, q_pad, c)
+        # inter (over time)
+        h = nn.LayerNorm(epsilon=self.eps, name="inter_norm")(x)
+        h = h.transpose(0, 2, 1, 3).reshape(b * q_pad, t_pad, c)
+        h = path(h, b * q_pad, t_pad, "inter_rnn", "inter_linear")
+        x = x + h.reshape(b, q_pad, t_pad, c).transpose(0, 2, 1, 3)
+        x = x[:, olp: olp + old_t, olp: olp + old_q]
+
+        # full-band attention over frames
+        e_dim = -(-self.approx_qk_dim // self.n_freqs)  # ceil, :582-584
+        cv = c // self.n_head
+        q = nn.Dense(self.n_head * e_dim, name="attn_conv_Q")(x)
+        q = _AllHeadPReLULN4DCF(self.n_head, e_dim, self.n_freqs,
+                                self.eps, name="attn_norm_Q")(
+            q.reshape(b, old_t, old_q, self.n_head, e_dim))
+        k = nn.Dense(self.n_head * e_dim, name="attn_conv_K")(x)
+        k = _AllHeadPReLULN4DCF(self.n_head, e_dim, self.n_freqs,
+                                self.eps, name="attn_norm_K")(
+            k.reshape(b, old_t, old_q, self.n_head, e_dim))
+        v = nn.Dense(self.n_head * cv, name="attn_conv_V")(x)
+        v = _AllHeadPReLULN4DCF(self.n_head, cv, self.n_freqs,
+                                self.eps, name="attn_norm_V")(
+            v.reshape(b, old_t, old_q, self.n_head, cv))
+
+        def flat(z, e):
+            # (B,T,F,H,E) → (B·H, T, E·F), row-major (E, F) flatten
+            return z.transpose(0, 3, 1, 4, 2).reshape(
+                b * self.n_head, old_t, e * old_q)
+
+        qf, kf, vf = flat(q, e_dim), flat(k, e_dim), flat(v, cv)
+        attn = jax.nn.softmax(
+            qf @ jnp.swapaxes(kf, 1, 2)
+            / jnp.sqrt(jnp.asarray(e_dim * old_q, x.dtype)), axis=-1)
+        out = attn @ vf                          # (B·H, T, Cv·F)
+        out = out.reshape(b, self.n_head, old_t, cv, old_q)
+        out = out.transpose(0, 2, 4, 1, 3).reshape(
+            b, old_t, old_q, self.n_head * cv)  # channel = h·Cv + c
+        out = nn.Dense(c, name="attn_proj")(out)
+        out = _PReLU(name="attn_act")(out)
+        out = _LN4DCF(c, self.n_freqs, self.eps, name="attn_ln")(out)
+        return out + x
+
+
 @register_model(name="TFGridNet")
 class TFGridNet(nn.Module):
-    """Time-frequency grid separator (Wang et al. 2023): STFT features,
-    alternating intra-frame (frequency) and sub-band (time) BiLSTMs plus
-    full-band self-attention, complex-spectrum output heads."""
+    """TF-GridNet separator (Wang et al. 2023), faithful to the
+    reference graph (TFGNet.py:352-536): unbiased-std input
+    normalization, center/reflect hann STFT (n_fft win, `stride` hop),
+    3×3 conv + GroupNorm(1) embedding, n_layers GridNetV2 blocks
+    (intra-frequency/inter-time unfolded BiLSTMs + full-band T×T
+    attention), 3×3 transposed-conv to per-source real/imag spectra,
+    iSTFT, and the std denormalization. Loadable from a reference
+    torch checkpoint via port_rules.convert_tfgridnet (forward parity
+    in tests/test_convert.py). `lengths` masks STFT frames exactly as
+    the reference's Stft olens masked_fill (stft_tfgn.py:171-180); the
+    std normalization still spans padding, so bucket-padded outputs
+    are approximate — exact at full length."""
 
-    n_fft: int = 256
-    hop: int = 128
-    dim: int = 48
-    hidden: int = 96
-    n_layers: int = 3
-    num_spks: int = 2
+    n_srcs: int = 2
+    n_fft: int = 128
+    stride: int = 64
+    n_layers: int = 6
+    lstm_hidden_units: int = 192
+    attn_n_head: int = 4
+    attn_approx_qk_dim: int = 512
+    emb_dim: int = 48
+    emb_ks: int = 4
+    emb_hs: int = 1
+    eps: float = 1e-5
     sample_rate: int = 16000
+
+    # registry/back-compat aliases used by earlier configs
+    @property
+    def num_spks(self):
+        return self.n_srcs
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
         b, t_in = wav.shape
-        spec = stft(wav, self.n_fft, self.hop)  # (B, F, T)
+        # torch.std over (T, M) is Bessel-corrected (TFGNet.py:495)
+        mix_std = jnp.std(wav, axis=1, keepdims=True, ddof=1)
+        xw = wav / mix_std
+        spec = stft(xw, self.n_fft, self.stride)   # (B, F, T) complex
         f, tt = spec.shape[1], spec.shape[2]
-        feats = jnp.stack([spec.real, spec.imag], axis=-1)  # (B, F, T, 2)
-        h = nn.Dense(self.dim, name="in_proj")(feats)  # (B, F, T, D)
+        if lengths is not None:
+            pad = self.n_fft // 2
+            olens = (lengths + 2 * pad - self.n_fft) // self.stride + 1
+            spec = spec * _length_mask(jnp.clip(olens, 1, tt), tt)[:, None]
+        x = jnp.stack([spec.real, spec.imag], axis=-1)  # (B, F, T, 2)
+        x = x.transpose(0, 2, 1, 3)                     # (B, T, F, 2)
+        x = nn.Conv(self.emb_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv")(x)
+        x = nn.GroupNorm(num_groups=1, epsilon=self.eps,
+                         name="conv_norm")(x)
         for i in range(self.n_layers):
-            # intra-frame: over frequency for every time step
-            hf = h.transpose(0, 2, 1, 3).reshape(b * tt, f, self.dim)
-            hf = _BiRNN(self.hidden, name=f"freq_rnn_{i}")(hf)
-            hf = nn.Dense(self.dim, name=f"freq_proj_{i}")(hf)
-            h = h + hf.reshape(b, tt, f, self.dim).transpose(0, 2, 1, 3)
-            # sub-band: over time for every frequency
-            ht = h.reshape(b * f, tt, self.dim)
-            ht = _BiRNN(self.hidden, name=f"time_rnn_{i}")(ht)
-            ht = nn.Dense(self.dim, name=f"time_proj_{i}")(ht)
-            h = h + ht.reshape(b, f, tt, self.dim)
-            # full-band attention over time on freq-pooled summary
-            summary = jnp.mean(h, axis=1)  # (B, T, D)
-            att = _TransformerLayer(self.dim, name=f"attn_{i}")(summary)
-            h = h + att[:, None]
-        out = nn.Dense(2 * self.num_spks, name="out_proj")(h)  # (B, F, T, 2S)
-        out = out.reshape(b, f, tt, self.num_spks, 2)
-        est = out[..., 0] + 1j * out[..., 1]  # (B, F, T, S)
-        est = est.transpose(0, 3, 1, 2).reshape(b * self.num_spks, f, tt)
-        wavs = istft(est, self.n_fft, self.hop, length=t_in)
-        return wavs.reshape(b, self.num_spks, t_in)
+            x = _GridNetV2Block(
+                self.emb_dim, self.emb_ks, self.emb_hs, f,
+                self.lstm_hidden_units, self.attn_n_head,
+                self.attn_approx_qk_dim, self.eps, name=f"block_{i}")(x)
+        x = nn.ConvTranspose(self.n_srcs * 2, (3, 3), padding="VALID",
+                             name="deconv")(x)
+        x = x[:, 1:-1, 1:-1]      # torch deconv padding=(1,1) crop
+        x = x.reshape(b, tt, f, self.n_srcs, 2)
+        est = x[..., 0] + 1j * x[..., 1]                # (B, T, F, S)
+        est = est.transpose(0, 3, 2, 1).reshape(b * self.n_srcs, f, tt)
+        wavs = istft(est, self.n_fft, self.stride, length=t_in)
+        wavs = wavs.reshape(b, self.n_srcs, t_in)
+        return wavs * mix_std[:, None]
 
 
 # ---------------- MossFormer (v1) ----------------

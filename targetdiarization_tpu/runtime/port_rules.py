@@ -44,7 +44,8 @@ import re
 
 import numpy as np
 
-from .convert import convert_conv1d, convert_linear, convert_norm, to_numpy
+from .convert import (convert_conv1d, convert_conv2d, convert_linear,
+                      convert_norm, to_numpy)
 
 
 def _conv1x1_as_dense(weight, bias=None):
@@ -959,4 +960,96 @@ def convert_skim(state_dict: dict) -> dict:
     if unmatched:
         raise KeyError(
             f"convert_skim: unhandled keys {sorted(unmatched)[:8]}")
+    return {"params": tree}
+
+
+def convert_tfgridnet(state_dict: dict) -> dict:
+    """Reference TFGridNet torch state dict (TFGNet.py:352-536) →
+    {'params': ...} for models/zoo.py::TFGridNet.
+
+    Layout moves: Conv2d (out,in,kh,kw) → (kh,kw,in,out);
+    ConvTranspose1d/2d additionally reverse the spatial axes (flax
+    ConvTranspose does not flip); the 4DCF norm affines drop their
+    singleton axes and move F first — (1,H,E,1,F) → (F,H,E) and
+    (1,C,1,F) → (F,C) — matching the channels-last modules."""
+    sd = dict(state_dict)
+    handled = set()
+
+    def take(name):
+        handled.add(name)
+        return sd[name]
+
+    def dense(dst, stem):
+        w = to_numpy(take(f"{stem}.weight"))
+        if w.ndim == 4:      # Conv2d 1×1
+            w = w[..., 0, 0]
+        _set(tree, f"{dst}/kernel", w.T)
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def norm(dst, stem):
+        _set(tree, f"{dst}/scale", to_numpy(take(f"{stem}.weight")))
+        _set(tree, f"{dst}/bias", to_numpy(take(f"{stem}.bias")))
+
+    def lstm(dst, stem):
+        for name, suf in (("fwd", ""), ("bwd", "_reverse")):
+            _set(tree, f"{dst}/{name}_wi",
+                 to_numpy(take(f"{stem}.weight_ih_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_wh",
+                 to_numpy(take(f"{stem}.weight_hh_l0{suf}")).T)
+            _set(tree, f"{dst}/{name}_bi",
+                 to_numpy(take(f"{stem}.bias_ih_l0{suf}")))
+            _set(tree, f"{dst}/{name}_bh",
+                 to_numpy(take(f"{stem}.bias_hh_l0{suf}")))
+
+    def allhead(dst, stem):
+        _set(tree, f"{dst}/alpha", to_numpy(take(f"{stem}.act.weight")))
+        g = to_numpy(take(f"{stem}.gamma"))[0, :, :, 0]   # (H,E,F)
+        b_ = to_numpy(take(f"{stem}.beta"))[0, :, :, 0]
+        _set(tree, f"{dst}/gamma", np.transpose(g, (2, 0, 1)))
+        _set(tree, f"{dst}/beta", np.transpose(b_, (2, 0, 1)))
+
+    tree: dict = {}
+    c = convert_conv2d(take("conv.0.weight"), take("conv.0.bias"))
+    _set(tree, "conv/kernel", c["kernel"])
+    _set(tree, "conv/bias", c["bias"])
+    norm("conv_norm", "conv.1")
+
+    n_layers = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(r"blocks\.(\d+)\.", k)))
+    for i in range(n_layers):
+        src = f"blocks.{i}"
+        dst = f"block_{i}"
+        for part in ("intra", "inter"):
+            norm(f"{dst}/{part}_norm", f"{src}.{part}_norm")
+            lstm(f"{dst}/{part}_rnn", f"{src}.{part}_rnn")
+            w = to_numpy(take(f"{src}.{part}_linear.weight"))
+            if w.ndim == 3:   # ConvTranspose1d (emb_ks != emb_hs)
+                ct = convert_conv_transpose1d(
+                    w, take(f"{src}.{part}_linear.bias"))
+                _set(tree, f"{dst}/{part}_linear/kernel", ct["kernel"])
+                _set(tree, f"{dst}/{part}_linear/bias", ct["bias"])
+            else:             # Linear (emb_ks == emb_hs)
+                _set(tree, f"{dst}/{part}_linear/kernel", w.T)
+                _set(tree, f"{dst}/{part}_linear/bias",
+                     to_numpy(take(f"{src}.{part}_linear.bias")))
+        for head in ("Q", "K", "V"):
+            dense(f"{dst}/attn_conv_{head}", f"{src}.attn_conv_{head}")
+            allhead(f"{dst}/attn_norm_{head}", f"{src}.attn_norm_{head}")
+        dense(f"{dst}/attn_proj", f"{src}.attn_concat_proj.0")
+        _set(tree, f"{dst}/attn_act/alpha",
+             to_numpy(take(f"{src}.attn_concat_proj.1.weight")))
+        g = to_numpy(take(f"{src}.attn_concat_proj.2.gamma"))[0, :, 0]
+        b_ = to_numpy(take(f"{src}.attn_concat_proj.2.beta"))[0, :, 0]
+        _set(tree, f"{dst}/attn_ln/gamma", g.T)   # (C,F) → (F,C)
+        _set(tree, f"{dst}/attn_ln/beta", b_.T)
+
+    w = to_numpy(take("deconv.weight"))   # (in, out, kh, kw)
+    _set(tree, "deconv/kernel",
+         np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy())
+    _set(tree, "deconv/bias", to_numpy(take("deconv.bias")))
+
+    unmatched = [k for k in sd if k not in handled]
+    if unmatched:
+        raise KeyError(
+            f"convert_tfgridnet: unhandled keys {sorted(unmatched)[:8]}")
     return {"params": tree}

@@ -86,6 +86,10 @@ def load_reference_models():
         return None
     _install_rotary_stub()
     _install_torch_complex_stub()
+    # librosa is absent in-image; stft_tfgn.py only touches it on the
+    # no-MKL fallback path which modern torch never takes — an empty
+    # module lets TFGNet.py import.
+    sys.modules.setdefault("librosa", type(sys)("librosa"))
     # synthetic package entries with __path__ pointing into the reference
     # tree: submodules import normally (relative imports work) without
     # executing look2hear/__init__.py, which drags in unavailable deps
@@ -96,15 +100,23 @@ def load_reference_models():
          os.path.join(REFERENCE_ROOT, "look2hear", "models")),
         ("look2hear.utils",
          os.path.join(REFERENCE_ROOT, "look2hear", "utils")),
+        ("look2hear.layers",
+         os.path.join(REFERENCE_ROOT, "look2hear", "layers")),
     ):
         if pkg not in sys.modules:
             mod = type(sys)(pkg)
             mod.__path__ = [path]
             mod.__package__ = pkg
             sys.modules[pkg] = mod
+    # TFGNet.py does `from ..layers import Stft`; expose it on the
+    # synthetic package without executing layers/__init__.py (which
+    # imports librosa-backed modules wholesale)
+    if not hasattr(sys.modules["look2hear.layers"], "Stft"):
+        stft_tfgn = importlib.import_module("look2hear.layers.stft_tfgn")
+        sys.modules["look2hear.layers"].Stft = stft_tfgn.Stft
     mods = {}
     for name in ("mossformer2", "mossformer_block", "fsmn", "conv_module",
                  "apollo", "ConvTasnet", "dprnn", "dptnet", "bsrnn",
-                 "sudormrf", "afrcnn", "tdanet", "skim"):
+                 "sudormrf", "afrcnn", "tdanet", "skim", "TFGNet"):
         mods[name] = importlib.import_module(f"look2hear.models.{name}")
     return mods

@@ -22,7 +22,9 @@ TINY = {
                upsampling_depth=2, enc_kernel_size=2),
     "BSRNN": dict(sample_rate=16000, win=2048, stride=512, feature_dim=8,
               num_repeat=1, num_output=2, num_spks=2),
-    "TFGridNet": dict(dim=8, hidden=16, n_layers=1),
+    "TFGridNet": dict(n_fft=32, stride=16, emb_dim=8, n_layers=1,
+                      lstm_hidden_units=8, attn_n_head=2,
+                      attn_approx_qk_dim=16),
     "MossFormer": dict(dim=32, enc_channels=32, num_blocks=1, group_size=64,
                        qk_dim=32),
     "AFRCNN": dict(out_channels=8, in_channels=16, num_blocks=2,
