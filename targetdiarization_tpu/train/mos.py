@@ -47,12 +47,22 @@ def audio_melspec(audio: np.ndarray, n_mels: int = 120,
                   frame_size: int = 320, hop: int = 160,
                   sr: int = SAMPLING_RATE) -> np.ndarray:
     """Reference mel frontend (dnsmos.py audio_melspec): power mel with
-    n_fft=frame_size+1, dB re max, (x+40)/40, frames-first."""
-    from ..ops.mel import mel_filterbank
-    from ..ops.stft import stft
+    n_fft=frame_size+1, dB re max, (x+40)/40, frames-first.
 
-    spec = np.abs(np.asarray(stft(
-        jnp.asarray(np.asarray(audio, np.float32)), frame_size + 1, hop)))
+    Computed entirely on the host in numpy: n_fft=321 is odd, and odd-size
+    FFTs are unimplemented on the TPU backend — this frontend is a
+    metric/data-prep path, never inside a jitted program. Semantics match
+    ops/stft.stft exactly (periodic hann, center reflect pad, rfft)."""
+    from ..ops.mel import mel_filterbank
+
+    n_fft = frame_size + 1
+    x = np.asarray(audio, np.float32)
+    x = np.pad(x, (n_fft // 2, n_fft // 2), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    window = (0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(n_fft) / n_fft)).astype(np.float32)
+    spec = np.abs(np.fft.rfft(x[idx] * window, n=n_fft, axis=-1)).T
     power = spec ** 2  # (F, T)
     fb = np.asarray(mel_filterbank(sr, frame_size + 1, n_mels))  # (n_mels, F)
     m = fb @ power

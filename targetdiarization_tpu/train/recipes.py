@@ -736,7 +736,7 @@ def bootstrap_enhancer(steps: int = 2000, batch: int = 8,
     return metrics
 
 
-def bootstrap_mos(steps: int = 800, batch: int = 8,
+def bootstrap_mos(steps: int = 800, batch: int = 8, pool: int = 240,
                   checkpoint_dir: str = "checkpoints/mos-bootstrap",
                   seed: int = 0, log_fn=print) -> dict:
     """Calibrate the DNSMOS architecture (train/mos.py) on synthetic
@@ -822,16 +822,23 @@ def bootstrap_mos(steps: int = 800, batch: int = 8,
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(st, updates), opt_state, loss
 
+    # Precompute a fixed sample pool once — per-sample mel + STOI are
+    # host-side and dominate wall time on small-CPU hosts — then draw
+    # every training batch from the pool.
+    pool_mels, pool_raws, pool_mos = [], [], []
+    for _ in range(pool):
+        deg, raw, ovr = sample(rng)
+        pool_mels.append(audio_melspec(deg[:-160]))
+        pool_raws.append(raw)
+        pool_mos.append(ovr)
+    pool_mels = jnp.asarray(np.stack(pool_mels))
+    pool_raws = jnp.asarray(np.stack(pool_raws))
+    pool_mos = jnp.asarray(np.asarray(pool_mos, np.float32))
+
     for i in range(steps):
-        mels, raws, mos = [], [], []
-        for _ in range(batch):
-            deg, raw, ovr = sample(rng)
-            mels.append(audio_melspec(deg[:-160]))
-            raws.append(raw)
-            mos.append(ovr)
+        idx = np.asarray(rng.integers(0, pool, size=batch))
         st, opt_state, loss = step_fn(
-            st, opt_state, jnp.asarray(np.stack(mels)),
-            jnp.asarray(np.stack(raws)), jnp.asarray(np.asarray(mos)))
+            st, opt_state, pool_mels[idx], pool_raws[idx], pool_mos[idx])
         if (i + 1) % max(steps // 8, 1) == 0:
             log_fn(f"mos step {i + 1}/{steps}: loss={float(loss):.4f}")
 
