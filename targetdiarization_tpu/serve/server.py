@@ -92,9 +92,26 @@ def build_model(config=None):
     # audio; see README "Checkpoints")
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # Separator default: the production-geometry trained checkpoint
+    # (512-dim/24-block, the reference MossFormer2 scale) on accelerator
+    # backends; the compact 256/12 on CPU, where 512/24 costs ~22 s per
+    # 4 s clip and would dominate CI wall time. TD_SEP_CHECKPOINT
+    # overrides either way.
+    sep_name = os.environ.get("TD_SEP_CHECKPOINT", "")
+    if not sep_name:
+        try:
+            import jax as _jax
+
+            on_accel = _jax.default_backend() != "cpu"
+        except Exception:
+            on_accel = False
+        sep_name = "sep-bootstrap-512" if (
+            on_accel and os.path.exists(
+                os.path.join(repo, "checkpoints", "sep-bootstrap-512"))
+        ) else "sep-bootstrap"
     defaults = {
         "vad_model": os.path.join(repo, "checkpoints", "vad-bootstrap"),
-        "separation_model": os.path.join(repo, "checkpoints", "sep-bootstrap"),
+        "separation_model": os.path.join(repo, "checkpoints", sep_name),
         "embedding_model": os.path.join(repo, "checkpoints", "spk-bootstrap"),
         "segmentation_model": os.path.join(repo, "checkpoints", "seg-bootstrap"),
         "denoise_model": os.path.join(repo, "checkpoints", "den-bootstrap"),
