@@ -3,10 +3,11 @@
 Equivalent capability to look2hear/metrics/wrapper.py:28-199: per-example
 SI-SNR(i), SDR(i), STOI, PESQ and a CSV report. STOI is the real Taal
 et al. algorithm and PESQ a P.862-style perceptual model, both native
-(train/perceptual.py); DNSMOS/SigMOS need released ONNX weights that
-don't exist in this environment (documented in docs/PARITY.md). The
-legacy band-correlation `stoi_proxy` is kept for backward compatibility
-of recorded CSVs.
+(train/perceptual.py); DNSMOS/SigMOS columns come from the native
+estimators in train/mos.py (pass `mos_estimator`/`sigmos_estimator`,
+e.g. loaded from the shipped bootstrap calibrations). The legacy
+band-correlation `stoi_proxy` is kept for backward compatibility of
+recorded CSVs.
 """
 
 from __future__ import annotations
@@ -76,17 +77,30 @@ class MetricsTracker:
     `asr_detection(audio, sr)` contract), each row also logs the
     transcript of the estimate and of the reference — the reference
     harness's faster-whisper hook (look2hear/metrics/asr.py:1-12,
-    wrapper.py:28-40) served the same purpose."""
+    wrapper.py:28-40) served the same purpose.
+
+    With `mos_estimator` / `sigmos_estimator` set (train/mos.py
+    MOSEstimator / SigMOSEstimator — e.g. `.from_pretrained` on the
+    shipped mos-bootstrap / sigmos-bootstrap calibrations), each row
+    also logs the DNSMOS P.835 and SigMOS P.804 scores of the estimate,
+    matching the reference harness's ONNX MOS columns (wrapper.py
+    DNSMOS/SigMOS hooks, dnsmos.py:24-25, sigmos.py:39-42)."""
 
     FIELDS = ("key", "si_snr", "si_snr_i", "sdr", "sdr_i", "stoi", "pesq")
     ASR_FIELDS = ("transcript_est", "transcript_ref")
+    MOS_FIELDS = ("dnsmos_ovrl", "dnsmos_sig", "dnsmos_bak", "dnsmos_p808")
+    SIGMOS_FIELDS = ("mos_col", "mos_disc", "mos_loud", "mos_noise",
+                     "mos_reverb", "mos_sig", "mos_ovrl")
 
     def __init__(self, save_path: str | None = None, asr_engine=None,
-                 sample_rate: int = 16000):
+                 sample_rate: int = 16000, mos_estimator=None,
+                 sigmos_estimator=None):
         self.rows: list = []
         self.save_path = save_path
         self.asr_engine = asr_engine
         self.sample_rate = sample_rate
+        self.mos_estimator = mos_estimator
+        self.sigmos_estimator = sigmos_estimator
 
     def _transcribe(self, audio) -> str:
         try:
@@ -111,16 +125,35 @@ class MetricsTracker:
         if self.asr_engine is not None:
             row["transcript_est"] = self._transcribe(est)
             row["transcript_ref"] = self._transcribe(ref)
+        if self.mos_estimator is not None:
+            d = self.mos_estimator(np.asarray(est, np.float32).ravel(),
+                                   self.sample_rate)
+            row["dnsmos_ovrl"] = round(d["OVRL"], 3)
+            row["dnsmos_sig"] = round(d["SIG"], 3)
+            row["dnsmos_bak"] = round(d["BAK"], 3)
+            row["dnsmos_p808"] = round(d["P808_MOS"], 3)
+        if self.sigmos_estimator is not None:
+            s = self.sigmos_estimator.run(
+                np.asarray(est, np.float32).ravel(), sr=self.sample_rate)
+            for k, v in s.items():
+                row[k.lower()] = round(v, 3)
         self.rows.append(row)
         return row
+
+    def _fields(self):
+        return (self.FIELDS
+                + (self.MOS_FIELDS if self.mos_estimator is not None else ())
+                + (self.SIGMOS_FIELDS
+                   if self.sigmos_estimator is not None else ())
+                + (self.ASR_FIELDS if self.asr_engine is not None else ()))
 
     def summary(self) -> dict:
         if not self.rows:
             return {}
         return {
             f: round(float(np.mean([r[f] for r in self.rows])), 3)
-            for f in self.FIELDS
-            if f != "key"
+            for f in self._fields()
+            if f != "key" and f not in self.ASR_FIELDS
         }
 
     def write_csv(self, path: str | None = None) -> str:
@@ -128,8 +161,7 @@ class MetricsTracker:
         if not path:
             raise ValueError("no CSV path given")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        fields = self.FIELDS + (
-            self.ASR_FIELDS if self.asr_engine is not None else ())
+        fields = self._fields()
         with open(path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=fields)
             writer.writeheader()

@@ -94,7 +94,7 @@ class DNSMOSNet(nn.Module):
 
 
 class SigMOSNet(nn.Module):
-    """CNN estimator over SigMOS's compressed-magnitude STFT frames;
+    """CNN estimator over SigMOS's 3-channel compressed-STFT features;
     7 outputs = P.804 dimensions (COL, DISC, LOUD, NOISE, REVERB, SIG,
     OVRL — reference sigmos.py result keys)."""
 
@@ -103,21 +103,28 @@ class SigMOSNet(nn.Module):
 
     @nn.compact
     def __call__(self, feat):
-        # feat: (B, T, F) compressed magnitude (F = 481)
-        h = feat[..., None]
+        # feat: (B, 3, T, F) as the reference ONNX input (F = 481),
+        # channels = [compressed mag, compressed real, compressed imag]
+        h = jnp.transpose(feat, (0, 2, 3, 1))  # → (B, T, F, 3) for Conv
         for i, c in enumerate((self.ch, self.ch * 2, self.ch * 2)):
             h = nn.Conv(c, (3, 5), name=f"conv{i}")(h)
             h = nn.relu(h)
             h = nn.max_pool(h, (2, 4), strides=(2, 4))
-        h = jnp.mean(h, axis=(1, 2))
+        # mean pool for stationary dimensions (noise/coloration/loudness)
+        # + max pool for localized events (discontinuities, reverb tails)
+        h = jnp.concatenate(
+            [jnp.mean(h, axis=(1, 2)), jnp.max(h, axis=(1, 2))], axis=-1)
         h = nn.relu(nn.Dense(128, name="fc1")(h))
         return nn.Dense(self.n_out, name="head")(h)
 
 
 def sigmos_frontend(audio: np.ndarray, sr: int) -> np.ndarray:
-    """SigMOS input features: resample→48 kHz, sqrt-Hann 960/480 STFT,
-    0.3-power compressed magnitude (reference sigmos.py stft +
-    compressed_mag_complex)."""
+    """SigMOS input features, faithful to the reference (sigmos.py stft
+    + compressed_mag_complex): resample→48 kHz, sqrt-Hann 960/480 STFT,
+    then THREE channels — 0.3-power compressed magnitude plus the
+    compressed real/imag parts `|X|^(c-1) · X` — shaped (3, T, 481)
+    exactly like the ONNX input (minus the batch dim). Host-side numpy:
+    this is a metric frontend, never inside a jitted program."""
     from ..ops.resample import resample_poly_np
 
     x = np.asarray(audio, np.float32)
@@ -129,9 +136,41 @@ def sigmos_frontend(audio: np.ndarray, sr: int) -> np.ndarray:
     x = np.pad(x, (dft - frame, dft - last))
     n_frames = 1 + (len(x) - dft) // frame
     idx = np.arange(dft)[None, :] + frame * np.arange(n_frames)[:, None]
-    spec = np.fft.rfft(x[idx] * win, n=dft, axis=-1)
-    mag2 = np.maximum(np.abs(spec) ** 2, 1e-12)
-    return (mag2 ** (0.3 / 2)).astype(np.float32)  # (T, 481)
+    spec = np.fft.rfft(x[idx] * win, n=dft, axis=-1)  # (T, 481)
+    c = 0.3
+    x2 = np.maximum(spec.real ** 2 + spec.imag ** 2, 1e-12)
+    mag = x2 ** (c / 2)
+    scale = x2 ** ((c - 1) / 2)
+    feats = np.stack([mag, scale * spec.real, scale * spec.imag])
+    return feats.astype(np.float32)  # (3, T, 481)
+
+
+class SigMOSEstimator:
+    """P.804 multi-dimension scorer: the reference SigMOS.run harness
+    (sigmos.py:69-84) around a SigMOSNet (bootstrap- or ported weights).
+    Returns the reference's exact result keys."""
+
+    KEYS = ("MOS_COL", "MOS_DISC", "MOS_LOUD", "MOS_NOISE",
+            "MOS_REVERB", "MOS_SIG", "MOS_OVRL")
+
+    def __init__(self, params=None, seed: int = 0):
+        self.net = SigMOSNet(n_out=7)
+        feat0 = jnp.zeros((1, 3, 200, 481))
+        self.params = params or self.net.init(jax.random.PRNGKey(seed), feat0)
+        self._fwd = jax.jit(self.net.apply)
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "SigMOSEstimator":
+        from ..runtime.params import load_checkpoint
+
+        p, _ = load_checkpoint(path)
+        return cls(params=p)
+
+    def run(self, audio: np.ndarray, sr: int | None = None) -> dict:
+        feats = sigmos_frontend(
+            np.asarray(audio, np.float32), sr if sr else 48000)
+        out = np.asarray(self._fwd(self.params, jnp.asarray(feats[None])))[0]
+        return {k: float(v) for k, v in zip(self.KEYS, out)}
 
 
 class MOSEstimator:

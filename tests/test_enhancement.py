@@ -63,4 +63,24 @@ class TestMOSEstimator:
         f = sigmos_frontend(rng.standard_normal(16000).astype(np.float32),
                             16000)
         assert f.shape[-1] == 481  # 960-point rfft bins
+        assert f.shape[0] == 3  # compressed mag + compressed real/imag
         assert np.isfinite(f).all()
+
+    def test_sigmos_frontend_channels(self, rng):
+        """mag channel = |compressed complex channels| (the reference's
+        compressed_mag_complex invariant |X|^c = |(|X|^(c-1)·X)|)."""
+        from targetdiarization_tpu.train.mos import sigmos_frontend
+
+        f = sigmos_frontend(rng.standard_normal(48000).astype(np.float32),
+                            48000)
+        mag = np.hypot(f[1], f[2])
+        np.testing.assert_allclose(mag, f[0], rtol=1e-4, atol=1e-5)
+
+    def test_sigmos_harness_contract(self, rng):
+        from targetdiarization_tpu.train.mos import SigMOSEstimator
+
+        est = SigMOSEstimator()
+        d = est.run(rng.standard_normal(16000).astype(np.float32) * 0.1,
+                    sr=16000)
+        assert set(d) == set(SigMOSEstimator.KEYS)
+        assert all(np.isfinite(v) for v in d.values())

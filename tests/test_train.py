@@ -311,3 +311,22 @@ class TestMetricsTranscriptHook:
         path = t.write_csv()
         header = open(path).readline().strip().split(",")
         assert "transcript_est" in header and "transcript_ref" in header
+
+    def test_mos_columns(self, tmp_path, rng):
+        """DNSMOS/SigMOS estimator hooks add the reference harness's MOS
+        columns (wrapper.py ONNX MOS hooks) per row and to the CSV."""
+        from targetdiarization_tpu.train.metrics import MetricsTracker
+        from targetdiarization_tpu.train.mos import (MOSEstimator,
+                                                     SigMOSEstimator)
+
+        t = MetricsTracker(save_path=str(tmp_path / "m.csv"),
+                           mos_estimator=MOSEstimator(),
+                           sigmos_estimator=SigMOSEstimator())
+        est = rng.standard_normal(32000).astype("float32") * 0.1
+        row = t.update("ex0", est, est, est)
+        for f in t.MOS_FIELDS + t.SIGMOS_FIELDS:
+            assert f in row and np.isfinite(row[f]), f
+        path = t.write_csv()
+        header = open(path).readline().strip().split(",")
+        assert "dnsmos_ovrl" in header and "mos_ovrl" in header
+        assert "mos_ovrl" in t.summary()
