@@ -340,30 +340,37 @@ class StreamChunkAnalyzer:
     # clients may stream larger chunks; bucket instead of truncating so
     # no chunk samples get misattributed to 'prev' in the R5 similarity
     CHUNK_LADDER = BucketLadder((16000, 32000, 64000, 160000))
+    # concurrent-session row rungs: N sessions' chunk decisions coalesce
+    # into one batched program (runtime/microbatch.py)
+    ROW_LADDER = BucketLadder((1, 2, 4, 8))
 
     def __init__(self, vad, spk):
+        from ..runtime import microbatch
+
         self.vad = vad
         self.spk = spk
         self._cache: dict = {}
+        self._mb = (microbatch.MicroBatcher(self._run_batch)
+                    if microbatch.enabled() else None)
 
-    def _build(self, bucket: int, cs: int):
+    def _build(self, bucket: int, cs: int, nb: int):
         from ..runtime.precision import cast_inputs, f32
 
         vad_eng, spk_eng = self.vad, self.spk
 
         def fn(vad_p, spk_p, comb_i16, n_comb, chunk_i16, n_chunk):
-            comb = comb_i16.astype(jnp.float32) / 32768.0  # (bucket,)
-            chunk = chunk_i16.astype(jnp.float32) / 32768.0  # (cs,)
-            nf_comb = FusedFrontend._n_frames(n_comb)
+            comb = comb_i16.astype(jnp.float32) / 32768.0  # (nb, bucket)
+            chunk = chunk_i16.astype(jnp.float32) / 32768.0  # (nb, cs)
+            nf_comb = FusedFrontend._n_frames(n_comb)  # (nb,)
             nf_chunk = FusedFrontend._n_frames(n_chunk)
-            feats_c = features.fbank(comb[None])  # (1, Tc, 80)
-            feats_k = features.fbank(chunk[None])  # (1, Tk, 80)
+            feats_c = features.fbank(comb)  # (nb, Tc, 80)
+            feats_k = features.fbank(chunk)  # (nb, Tk, 80)
             (fc,) = cast_inputs(vad_eng.compute_dtype, feats_c)
             (fk,) = cast_inputs(vad_eng.compute_dtype, feats_k)
             probs_c = f32(jax.nn.softmax(
-                vad_eng.model.apply(vad_p, fc, nf_comb[None]), -1)[0, :, 1])
+                vad_eng.model.apply(vad_p, fc, nf_comb), -1)[:, :, 1])
             probs_k = f32(jax.nn.softmax(
-                vad_eng.model.apply(vad_p, fk, nf_chunk[None]), -1)[0, :, 1])
+                vad_eng.model.apply(vad_p, fk, nf_chunk), -1)[:, :, 1])
 
             # embeddings: prev = combined minus the last chunk (prefix),
             # cur = the chunk — both as prefix-masked forwards
@@ -372,32 +379,67 @@ class StreamChunkAnalyzer:
 
             def embed(feats, nf, spk_p):
                 t = feats.shape[1]
-                m = (jnp.arange(t)[None, :, None] < nf[None, None, None]
+                m = (jnp.arange(t)[None, :, None] < nf[:, None, None]
                      ).astype(jnp.float32)
                 mean = jnp.sum(feats * m, axis=1, keepdims=True) / jnp.maximum(
                     jnp.sum(m, axis=1, keepdims=True), 1.0)
                 fn_ = (feats - mean) * m
                 (fc_,) = cast_inputs(spk_eng.compute_dtype, fn_)
-                return f32(spk_eng.model.apply(spk_p, fc_, nf[None],
-                                               train=False))[0]
+                return f32(spk_eng.model.apply(spk_p, fc_, nf,
+                                               train=False))  # (nb, D)
 
             emb_prev = embed(feats_c, nf_prev, spk_p)
             emb_chunk = embed(feats_k, nf_chunk, spk_p)
-            nprev = jnp.linalg.norm(emb_prev)
-            nchunk = jnp.linalg.norm(emb_chunk)
+            nprev = jnp.linalg.norm(emb_prev, axis=-1)
+            nchunk = jnp.linalg.norm(emb_chunk, axis=-1)
             cos = jnp.where(
                 (nprev > 0) & (nchunk > 0),
-                jnp.dot(emb_prev, emb_chunk) / jnp.maximum(nprev * nchunk, 1e-9),
+                jnp.sum(emb_prev * emb_chunk, -1)
+                / jnp.maximum(nprev * nchunk, 1e-9),
                 0.0)
             return {"probs_comb": probs_c, "probs_chunk": probs_k,
                     "similarity": cos}
 
         return jax.jit(fn)
 
-    def analyze_chunk(self, combined: np.ndarray, chunk: np.ndarray) -> dict:
-        """→ {'probs_comb', 'probs_chunk', 'similarity'} in one dispatch."""
+    def _run_batch(self, key, items) -> list:
+        """MicroBatcher callback: stack concurrent (combined, chunk)
+        pairs sharing (bucket, cs) into one padded-row dispatch."""
         from ..runtime.precision import quantize_i16
 
+        bucket, cs = key
+        nb = self.ROW_LADDER.bucket(len(items))
+        if (bucket, cs, nb) not in self._cache:
+            self._cache[(bucket, cs, nb)] = self._build(bucket, cs, nb)
+        fn = self._cache[(bucket, cs, nb)]
+        comb = np.zeros((nb, bucket), np.int16)
+        chk = np.zeros((nb, cs), np.int16)
+        n_comb = np.ones(nb, np.int32)
+        n_chunk = np.ones(nb, np.int32)
+        for i, (combined, chunk) in enumerate(items):
+            comb[i, : len(combined)] = quantize_i16(combined)
+            chk[i, : len(chunk)] = quantize_i16(chunk)
+            n_comb[i] = len(combined)
+            n_chunk[i] = len(chunk)
+        with trace("fused/stream_chunk"):
+            host = jax.device_get(fn(
+                self.vad._params_c, self.spk._params_c,
+                jnp.asarray(comb), jnp.asarray(n_comb),
+                jnp.asarray(chk), jnp.asarray(n_chunk)))
+        out = []
+        for i, (combined, chunk) in enumerate(items):
+            tc = features.num_frames(len(combined))
+            tk = features.num_frames(len(chunk))
+            out.append({
+                "probs_comb": host["probs_comb"][i, :tc],
+                "probs_chunk": host["probs_chunk"][i, :tk],
+                "similarity": float(host["similarity"][i]),
+            })
+        return out
+
+    def analyze_chunk(self, combined: np.ndarray, chunk: np.ndarray) -> dict:
+        """→ {'probs_comb', 'probs_chunk', 'similarity'} in one dispatch;
+        concurrent sessions' calls coalesce into one batched dispatch."""
         combined = np.asarray(combined, np.float32)
         chunk = np.asarray(chunk, np.float32)
         top = self.CHUNK_LADDER.rungs[-1]
@@ -406,23 +448,9 @@ class StreamChunkAnalyzer:
         top = _LADDER.rungs[-1]
         combined = combined[-top:]
         bucket = _LADDER.bucket(max(len(combined), 1))
-        if (bucket, cs) not in self._cache:
-            self._cache[(bucket, cs)] = self._build(bucket, cs)
-        fn = self._cache[(bucket, cs)]
-        with trace("fused/stream_chunk"):
-            host = jax.device_get(fn(
-                self.vad._params_c, self.spk._params_c,
-                jnp.asarray(pad_to(quantize_i16(combined), bucket)),
-                jnp.asarray(len(combined)),
-                jnp.asarray(pad_to(quantize_i16(chunk), cs)),
-                jnp.asarray(len(chunk))))
-        tc = features.num_frames(len(combined))
-        tk = features.num_frames(len(chunk))
-        return {
-            "probs_comb": host["probs_comb"][:tc],
-            "probs_chunk": host["probs_chunk"][:tk],
-            "similarity": float(host["similarity"]),
-        }
+        if self._mb is not None:
+            return self._mb.submit((bucket, cs), (combined, chunk))
+        return self._run_batch((bucket, cs), [(combined, chunk)])[0]
 
 
 class FusedSeparation:
