@@ -453,6 +453,35 @@ class ASREngine:
             return out["fire_frames"]
 
         self._align = jax.jit(_align) if self.engine == "paraformer" else None
+        from ..runtime import microbatch
+
+        # cross-session micro-batching: N serving threads' single-row
+        # asr_detection dispatches sharing a sample bucket coalesce into
+        # one batched program (runtime/microbatch.py) — streaming flush
+        # chunks run one ASR per session
+        self._mb = (microbatch.MicroBatcher(self._run_mb)
+                    if microbatch.enabled() else None)
+
+    # row rungs for coalesced single-utterance dispatches
+    ROW_LADDER = (1, 2, 4, 8)
+
+    def _run_mb(self, key, items) -> list:
+        """MicroBatcher callback: stack concurrent (audio_i16_row, t)
+        items sharing a sample bucket into one padded-row dispatch."""
+        import bisect
+
+        nb = self.ROW_LADDER[min(bisect.bisect_left(
+            self.ROW_LADDER, len(items)), len(self.ROW_LADDER) - 1)]
+        nb = max(nb, len(items))
+        batch = np.zeros((nb, key), np.int16)
+        ts = np.ones(nb, np.int32)
+        for i, (row, t) in enumerate(items):
+            batch[i] = row
+            ts[i] = t
+        out = jax.device_get(self._apply(
+            self._params_c, jnp.asarray(batch), jnp.asarray(ts)))
+        return [self._decode_row(out, i, t)
+                for i, (_, t) in enumerate(items)]
 
     @classmethod
     def from_pretrained(cls, path: str) -> "ASREngine":
@@ -585,6 +614,8 @@ class ASREngine:
         # a separate host-link round trip each)
         from ..runtime.precision import quantize_i16
 
+        if self._mb is not None:
+            return [self._mb.submit(bucket, (quantize_i16(padded)[0], t))]
         out = jax.device_get(
             self._apply(self._params_c, jnp.asarray(quantize_i16(padded)),
                         jnp.asarray([t])))

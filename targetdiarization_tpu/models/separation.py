@@ -474,6 +474,64 @@ class SeparationEngine:
         else:
             self._mesh_size = 1
             self._apply = jax.jit(_fwd)
+        from ..runtime import microbatch
+
+        # cross-session micro-batching: concurrent same-bucket forwards
+        # from N serving threads (streaming flush chunks run separation
+        # per session) coalesce into ONE batched dispatch — on the MXU
+        # extra batch rows cost far less than serialized programs
+        self._mb = (microbatch.MicroBatcher(self._run_mb)
+                    if microbatch.enabled() else None)
+
+    # concurrent-session row rungs for coalesced dispatches; calls with
+    # more rows than the top rung bypass the batcher (long-audio windowed
+    # calls — already batched internally)
+    ROW_LADDER = (1, 2, 4, 8, 16)
+
+    def _dispatch(self, batch: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """One (rows, bucket) → (rows, spk, bucket) device forward.
+
+        All engine entry points funnel through here so concurrent
+        serving threads sharing a bucket ride one batched program
+        (runtime/microbatch.py); a lone caller pays no gather window.
+        """
+        if self._mb is None or batch.shape[0] > self.ROW_LADDER[-1]:
+            b, l, n = self._pad_rows(batch, lengths)
+            est = np.asarray(self._apply(
+                self._params_c, jnp.asarray(b), jnp.asarray(l))
+            ).astype(np.float32)
+            return est[:n]
+        return self._mb.submit(batch.shape[1], (batch, lengths))
+
+    def _run_mb(self, key, items) -> list:
+        """MicroBatcher callback: stack concurrent row-batches sharing a
+        sample bucket into one padded-row dispatch, split results back."""
+        import bisect
+
+        from ..runtime.trace import trace
+
+        rows = sum(b.shape[0] for b, _ in items)
+        nb = self.ROW_LADDER[min(
+            bisect.bisect_left(self.ROW_LADDER, rows),
+            len(self.ROW_LADDER) - 1)]
+        nb = max(nb, rows)  # >top-rung totals run unpadded
+        nb += (-nb) % self._mesh_size
+        batch = np.zeros((nb, key), np.float32)
+        lengths = np.ones(nb, np.int64)
+        r = 0
+        for b, l in items:
+            batch[r: r + b.shape[0]] = b
+            lengths[r: r + b.shape[0]] = l
+            r += b.shape[0]
+        with trace("audio/separate_dispatch"):
+            est = np.asarray(self._apply(
+                self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
+            ).astype(np.float32)
+        out, r = [], 0
+        for b, _ in items:
+            out.append(est[r: r + b.shape[0]])
+            r += b.shape[0]
+        return out
 
     def _pad_rows(self, batch: np.ndarray, lengths: np.ndarray):
         """Pad the batch row count to a mesh-size multiple (sharding
@@ -523,11 +581,8 @@ class SeparationEngine:
             batch = np.stack([np.pad(work[i], (0, bucket - len(work[i])))
                               for i in small])
             lengths = np.array([len(work[i]) for i in small])
-            batch, lengths, n_real = self._pad_rows(batch, lengths)
             with trace("audio/separate_batch"):
-                est = np.asarray(self._apply(
-                    self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
-                ).astype(np.float32)[:n_real]
+                est = self._dispatch(batch, lengths)
             for j, i in enumerate(small):
                 streams = est[j, :, : len(work[i])]
                 louds = [integrated_loudness_native(s, self.model.sample_rate)
@@ -576,10 +631,7 @@ class SeparationEngine:
         batch = padded.reshape(n_win, win)
         lengths = np.full(n_win, win, np.int64)
         lengths[-1] = n - (n_win - 1) * win if n % win else win
-        batch, lengths, n_real = self._pad_rows(batch, lengths)
-        est = np.asarray(self._apply(
-            self._params_c, jnp.asarray(batch), jnp.asarray(lengths))
-        ).astype(np.float32)[:n_real]
+        est = self._dispatch(batch, lengths)
         # stitch windows back (non-overlapping concat, reference behavior)
         streams = est.transpose(1, 0, 2).reshape(self.model.num_spks, -1)[:, :n]
         # order by loudness, louder first (AudioProcessor.py:949-952);

@@ -107,3 +107,39 @@ class TestEngine:
     def test_empty(self, engine):
         out = engine.separate(np.zeros(0, np.float32))
         assert out.shape == (2, 0)
+
+
+class TestEngineMicrobatch:
+    """Cross-session coalescing of the separation dispatch: concurrent
+    same-bucket `separate` calls share one batched device program and
+    return exactly what a lone caller would get."""
+
+    def test_concurrent_equals_sequential(self, rng):
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = SeparationEngine(model=tiny_model(), window=16000, seed=0)
+        clips = [rng.standard_normal(12000).astype(np.float32) * 0.1
+                 for _ in range(6)]
+        seq = [eng.separate(c) for c in clips]
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            conc = list(ex.map(eng.separate, clips))
+        for a, b in zip(seq, conc):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+        assert eng._mb is not None and eng._mb.items >= 6
+
+    def test_row_overflow_bypasses_batcher(self, rng):
+        # >top-rung row counts (long audio, many windows) run direct
+        eng = SeparationEngine(model=tiny_model(), window=1600, seed=0)
+        audio = rng.standard_normal(1600 * 20).astype(np.float32) * 0.1
+        before = eng._mb.items if eng._mb else 0
+        out = eng.separate(audio)
+        assert out.shape == (2, 1600 * 20)
+        after = eng._mb.items if eng._mb else 0
+        assert after == before  # 20 rows > top rung → no submit
+
+    def test_disabled_env(self, monkeypatch):
+        monkeypatch.setenv("TD_MICROBATCH", "0")
+        eng = SeparationEngine(model=tiny_model(), window=16000, seed=0)
+        assert eng._mb is None
+        out = eng.separate(np.zeros(8000, np.float32))
+        assert out.shape == (2, 8000)
