@@ -104,6 +104,37 @@ class SANMBlock(nn.Module):
         return (x + h) * mask[..., None]
 
 
+class _SANMScanBody(nn.Module):
+    """nn.scan body: one SANMBlock applied to the carry.
+
+    Deep towers compile as ONE scanned layer body instead of N unrolled
+    copies — a 50-layer encoder's XLA program shrinks ~50× and so does
+    its compile time (the round-3 cold-start bottleneck). Params carry a
+    leading layer axis; runtime/params.py::upgrade_scan_layout stacks
+    legacy per-layer checkpoints on load."""
+
+    dim: int
+    heads: int
+    ffn: int
+    cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, context=None):
+        x = SANMBlock(self.dim, self.heads, self.ffn, cross=self.cross,
+                      name="block")(x, mask, context=context)
+        return x, None
+
+
+def _sanm_stack(n_layers: int, cross: bool = False):
+    return nn.scan(
+        _SANMScanBody,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=n_layers,
+        in_axes=(nn.broadcast, nn.broadcast),
+    )
+
+
 class SANMEncoder(nn.Module):
     dim: int = 512
     heads: int = 4
@@ -121,8 +152,8 @@ class SANMEncoder(nn.Module):
         ang = jnp.arange(t)[:, None] * inv[None, :]
         x = x + jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)[None]
         x = x * mask[..., None]
-        for i in range(self.n_layers):
-            x = SANMBlock(self.dim, self.heads, self.ffn, name=f"block_{i}")(x, mask)
+        x, _ = _sanm_stack(self.n_layers)(
+            self.dim, self.heads, self.ffn, name="blocks")(x, mask, None)
         return nn.LayerNorm(name="out_ln")(x) * mask[..., None]
 
 
@@ -262,11 +293,9 @@ class Paraformer(nn.Module):
         )(enc, mask, target_len)
         u = tokens.shape[1]
         tok_mask = (jnp.arange(u)[None, :] < n_tokens[:, None]).astype(feats.dtype)
-        x = tokens
-        for i in range(self.dec_layers):
-            x = SANMBlock(
-                self.dim, self.heads, self.ffn, cross=True, name=f"dec_{i}"
-            )(x, tok_mask, context=enc)
+        x, _ = _sanm_stack(self.dec_layers, cross=True)(
+            self.dim, self.heads, self.ffn, cross=True,
+            name="decoder_blocks")(tokens, tok_mask, enc)
         x = nn.LayerNorm(name="dec_ln")(x)
         logits = nn.Dense(self.vocab_size, name="vocab_proj")(x)
         return {

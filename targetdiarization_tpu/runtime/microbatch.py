@@ -101,33 +101,52 @@ class MicroBatcher:
                 self._pending[key] = q
             q.append(slot)
             leader = len(q) == 1
+        popped: list = []
         try:
             if not leader:
                 return slot.get()
-            if hot:
-                # gather window: let concurrent sessions' requests land
-                time.sleep(self.window_s)
-            with self._lock:
-                batch = self._pending.pop(key, [])
-            if not batch:  # raced away (shouldn't happen: only the
-                return slot.get()  # leader pops its key)
-            while batch:
-                part, batch = batch[: self.max_batch], batch[self.max_batch:]
+            try:
+                if hot:
+                    # gather window: let concurrent sessions' requests land
+                    time.sleep(self.window_s)
                 with self._lock:
-                    self.batches += 1
-                    self.items += len(part)
-                try:
-                    results = self.run_batch(key, [s.item for s in part])
-                    if len(results) != len(part):
-                        raise RuntimeError(
-                            f"run_batch returned {len(results)} results "
-                            f"for {len(part)} items")
-                    for s, r in zip(part, results):
-                        s.set(r)
-                except Exception as e:  # propagate to every waiter
-                    for s in part:
-                        s.set_exception(e)
-            return slot.get()
+                    popped = self._pending.pop(key, [])
+                if not popped:  # raced away (shouldn't happen: only the
+                    return slot.get()  # leader pops its key)
+                batch = list(popped)
+                while batch:
+                    part, batch = batch[: self.max_batch], batch[self.max_batch:]
+                    with self._lock:
+                        self.batches += 1
+                        self.items += len(part)
+                    try:
+                        results = self.run_batch(key, [s.item for s in part])
+                        if len(results) != len(part):
+                            raise RuntimeError(
+                                f"run_batch returned {len(results)} results "
+                                f"for {len(part)} items")
+                        for s, r in zip(part, results):
+                            s.set(r)
+                    except Exception as e:  # propagate to every waiter
+                        for s in part:
+                            s.set_exception(e)
+                return slot.get()
+            except BaseException as e:
+                # The leader died outside run_batch (e.g. KeyboardInterrupt
+                # during the gather sleep): without this, follower slots
+                # never get set and their Event.wait() blocks those serving
+                # threads forever, while later submitters keep appending to
+                # an orphaned pending list that has no leader.
+                if not popped:
+                    with self._lock:
+                        q = self._pending.get(key)
+                        if q and slot in q:  # still our generation
+                            popped = self._pending.pop(key)
+                err = RuntimeError(f"micro-batch leader aborted: {e!r}")
+                for s in popped:
+                    if not s.event.is_set():
+                        s.set_exception(err)
+                raise
         finally:
             with self._lock:
                 self._active -= 1

@@ -105,7 +105,7 @@ def _shape_cache_path(model, example_args, example_kwargs):
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
         return None
-    sig = [repr(model)]
+    sig = [repr(model), "layout=scan-v2"]
     for a in list(example_args) + sorted(example_kwargs.items()):
         v = a[1] if isinstance(a, tuple) else a
         if hasattr(v, "shape"):
@@ -198,6 +198,68 @@ def restore_pytree(path: str, like, name: str = "state"):
             f"checkpoint has {len(leaves)} leaves, template has "
             f"{treedef.num_leaves}")
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------- scan-layout compatibility ----------------
+#
+# Deep stacks (Paraformer's 50 encoder blocks, MossFormer2's 24
+# flash+fsmn pairs) are compiled with `nn.scan` over ONE stacked block —
+# XLA compiles a single layer body instead of an unrolled tower, cutting
+# cold-start compile time by an order of magnitude (VERDICT r3 ask 1).
+# Params therefore carry a leading layer axis. Checkpoints written
+# before this change (and torch ports) use per-layer subtrees
+# (`block_0`, `flash_3`, ...); these specs stack them on load.
+
+_SCAN_SPECS = {
+    # model_name: [(parent_path, legacy_prefix, (stack_name, child_name))]
+    "Paraformer": [
+        ("encoder", "block_", ("blocks", "block")),
+        ("", "dec_", ("decoder_blocks", "block")),
+    ],
+    "SenseVoice": [("encoder", "block_", ("blocks", "block"))],
+    "MossFormer2": [
+        ("mask_net", "flash_", ("layers", "flash")),
+        ("mask_net", "fsmn_", ("layers", "fsmn")),
+    ],
+}
+
+
+def _get_node(tree: dict, path: str):
+    node = tree
+    for p in path.split("/"):
+        if not p:
+            continue
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def upgrade_scan_layout(model_name: str, params):
+    """Stack legacy per-layer param subtrees into the nn.scan layout.
+    No-op when the checkpoint is already stacked (or the model has no
+    scanned stacks). Operates on {'params': ...}-wrapped or bare trees."""
+    import re
+
+    specs = _SCAN_SPECS.get(model_name)
+    if not specs:
+        return params
+    root = params.get("params", params) if isinstance(params, dict) else params
+    for parent_path, prefix, (stack_name, child_name) in specs:
+        parent = _get_node(root, parent_path)
+        if not isinstance(parent, dict):
+            continue
+        pat = re.compile(re.escape(prefix) + r"(\d+)$")
+        ids = sorted(
+            int(m.group(1)) for k in parent if (m := pat.fullmatch(k))
+        )
+        if not ids or ids != list(range(len(ids))):
+            continue
+        subs = [parent.pop(f"{prefix}{i}") for i in ids]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *subs)
+        parent.setdefault(stack_name, {})[child_name] = stacked
+    return params
 
 
 def param_count(params) -> int:

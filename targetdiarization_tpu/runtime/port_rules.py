@@ -226,7 +226,9 @@ def convert_mossformer2(state_dict: dict) -> dict:
     if unmatched:
         raise KeyError(
             f"convert_mossformer2: unhandled keys {sorted(unmatched)[:8]}")
-    return {"params": tree}
+    from .params import upgrade_scan_layout
+
+    return upgrade_scan_layout("MossFormer2", {"params": tree})
 
 
 def convert_apollo(state_dict: dict, n_uniform: int = 79) -> dict:

@@ -45,9 +45,10 @@ def from_pretrained(path: str):
     irrelevant, mirroring the reference behavior where
     `ConvTasNet.from_pretrain(mossformer2_ckpt)` yields a MossFormer2
     (SURVEY.md §2.2)."""
-    from .params import load_checkpoint
+    from .params import load_checkpoint, upgrade_scan_layout
 
     params, meta = load_checkpoint(path)
     cls = get_model_cls(meta["model_name"])
     model = cls(**meta.get("model_args", {}))
+    params = upgrade_scan_layout(meta["model_name"], params)
     return model, params

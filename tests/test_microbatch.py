@@ -132,6 +132,139 @@ def test_max_batch_splits():
     assert all(s <= 2 for s in sizes)
 
 
+def test_leader_abort_releases_followers():
+    """If the leader dies OUTSIDE run_batch (e.g. KeyboardInterrupt in
+    the gather window), followers must get an exception instead of
+    hanging forever on Event.wait()."""
+
+    class Boom(BaseException):
+        pass
+
+    real_sleep = time.sleep
+
+    def run(key, items):
+        return list(items)
+
+    mb = MicroBatcher(run, window_ms=40.0)
+    mb._last_multi = time.monotonic() + 10  # force hot → leader sleeps
+
+    orig = time.sleep
+
+    def dying_sleep(s):
+        orig(0.02)
+        raise Boom()
+
+    follower_err = []
+
+    def follower():
+        orig(0.005)  # let the leader enqueue first
+        try:
+            mb.submit("k", 2)
+        except RuntimeError as e:
+            follower_err.append(str(e))
+
+    t = threading.Thread(target=follower)
+    time.sleep = dying_sleep
+    try:
+        t.start()
+        with pytest.raises(Boom):
+            mb.submit("k", 1)
+    finally:
+        time.sleep = real_sleep
+    t.join(timeout=5)
+    assert not t.is_alive(), "follower hung after leader abort"
+    assert follower_err and "leader aborted" in follower_err[0]
+    # the pending list must be gone so the next submit gets a new leader
+    assert mb.submit("k", 7) == 7
+
+
+class TestASREngineMicrobatch:
+    """Engine-level coverage of the ASR micro-batch path (ADVICE r3):
+    concurrent == sequential, disabled-env, and mixed-t coalescing."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from targetdiarization_tpu.models.asr import ASREngine, Paraformer
+        from targetdiarization_tpu.models.tokenizer import CharTokenizer
+
+        tok = CharTokenizer()
+        model = Paraformer(vocab_size=len(tok), dim=32, ffn=64,
+                           enc_layers=2, dec_layers=1)
+        return ASREngine(model=model, tokenizer=tok, seed=0)
+
+    def test_concurrent_equals_sequential_mixed_t(self, engine):
+        """Different-length clips inside ONE sample bucket coalesce with
+        differing t per row; results must equal the sequential ones."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        rng = np.random.default_rng(0)
+        # same 1 s bucket, three distinct valid lengths → distinct t
+        clips = [rng.standard_normal(n).astype(np.float32) * 0.1
+                 for n in (15500, 12000, 9000, 15500, 12000, 9000)]
+        seq = [engine.asr_detection(c)[0] for c in clips]
+        before = engine._mb.items if engine._mb else 0
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            conc = [r[0] for r in ex.map(engine.asr_detection, clips)]
+        for a, b in zip(seq, conc):
+            assert a["text"] == b["text"]
+            assert a["timestamp"] == b["timestamp"]
+        assert engine._mb is not None and engine._mb.items - before >= 6
+
+    def test_disabled_env(self, monkeypatch):
+        from targetdiarization_tpu.models.asr import ASREngine, Paraformer
+        from targetdiarization_tpu.models.tokenizer import CharTokenizer
+
+        monkeypatch.setenv("TD_MICROBATCH", "0")
+        tok = CharTokenizer()
+        model = Paraformer(vocab_size=len(tok), dim=32, ffn=64,
+                           enc_layers=2, dec_layers=1)
+        eng = ASREngine(model=model, tokenizer=tok, seed=0)
+        assert eng._mb is None
+        res = eng.asr_detection(np.zeros(8000, np.float32))
+        assert set(res[0]) >= {"text", "timestamp"}
+
+
+def test_separation_run_mb_stays_on_row_ladder():
+    """Coalesced multi-row window batches must dispatch at ladder rungs
+    only — a novel total (17, 23, ...) would trigger a fresh serve-time
+    XLA compile while every coalesced session blocks (ADVICE r3 medium)."""
+    from targetdiarization_tpu.models.separation import (
+        MossFormer2,
+        SeparationEngine,
+    )
+
+    model = MossFormer2(dim=32, enc_channels=32, num_blocks=1,
+                        group_size=64, qk_dim=32, fsmn_inner=16)
+    eng = SeparationEngine(model=model, window=1600, seed=0)
+    if eng._mb is None:
+        pytest.skip("microbatching disabled in this env")
+    shapes = []
+    real_apply = eng._apply
+
+    def spy(p, wav, lengths):
+        shapes.append(tuple(wav.shape))
+        return real_apply(p, wav, lengths)
+
+    eng._apply = spy
+    rng = np.random.default_rng(1)
+    # three 7-row items (7+7+7=21 rows > top rung 16; legacy code
+    # dispatched a novel 21-row program)
+    items = [(rng.standard_normal((7, 1600)).astype(np.float32) * 0.1,
+              np.full(7, 1600, np.int64)) for _ in range(3)]
+    out = eng._run_mb(1600, items)
+    assert len(out) == 3
+    for o in out:
+        assert o.shape[0] == 7
+    for s in shapes:
+        assert s[0] in eng.ROW_LADDER, f"off-ladder row count {s[0]}"
+    # row-identity: each item's result equals its solo dispatch
+    solo = np.asarray(real_apply(
+        eng._params_c,
+        np.pad(items[0][0], ((0, 1), (0, 0))),
+        np.concatenate([items[0][1], [1]]))).astype(np.float32)[:7]
+    np.testing.assert_allclose(out[0], solo, atol=1e-5)
+
+
 def test_result_order_matches_submit_order():
     def run(key, items):
         return [np.asarray(x) * 10 for x in items]
