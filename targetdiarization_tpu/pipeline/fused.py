@@ -149,7 +149,10 @@ class FusedFrontend:
 
     # ---------------- analyze ----------------
 
-    def _build_analyze(self, bucket: int):
+    def _analyze_fn(self, bucket: int):
+        """The raw (un-jitted) single-item analyze graph for `bucket`;
+        `_build_analyze` jits it, `build_analyze_sharded` vmaps it over a
+        batch axis and shards that axis over a device mesh."""
         from ..runtime.precision import cast_inputs, f32
 
         t_total = features.num_frames(bucket)
@@ -182,7 +185,31 @@ class FusedFrontend:
                     spk_p, wins_c, jnp.full((n_win,), _WIN_F), train=False))
             return out
 
-        return jax.jit(fn)
+        return fn
+
+    def _build_analyze(self, bucket: int):
+        return jax.jit(self._analyze_fn(bucket))
+
+    def build_analyze_sharded(self, bucket: int, mesh):
+        """Batched analyze program with the batch axis sharded over the
+        mesh's `data` axis: N concurrent requests (server-side batch or
+        the multi-chip dryrun) run one SPMD program, params replicated,
+        rows split across chips — the framework's DP inference layout
+        (SURVEY.md §2.4). Returns fn(dn_p, vad_p, seg_p, spk_p,
+        audio_i16 (N, bucket), n_valid (N,)) -> dict of row-sharded
+        outputs."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        fn = self._analyze_fn(bucket)
+        batched = jax.vmap(fn, in_axes=(None, None, None, None, 0, 0))
+        rep = NamedSharding(mesh, P())
+        rows = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            batched,
+            in_shardings=(rep, rep, rep, rep, rows, rows),
+            out_shardings=rows,
+        )
 
     def analyze(self, audio: np.ndarray, sr: int = 16000) -> dict:
         """One fused dispatch; returns host-side dict:
