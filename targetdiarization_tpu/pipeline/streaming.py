@@ -26,13 +26,64 @@ Flush-rule cascade (reference should_wait_for_next_chunk :110-171):
 from __future__ import annotations
 
 import io
+import os
 import re
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Generator, Union
 
 import numpy as np
 
 from .offline import TargetDiarization
+
+
+class _FlushQueue:
+    """Per-session ordered async flush pipeline.
+
+    Heavy flush work (separation + ASR + embedding over the flushed
+    buffer, reference process_single_chunk :174-186) runs on ONE
+    background worker per session, so the chunk-intake/flush-decision
+    path never blocks on it: a 1 s real-time chunk budget is spent on
+    the decision dispatch only, and a flush that takes hundreds of ms
+    overlaps the next chunks' intake. FIFO execution on a single worker
+    preserves the synchronous semantics exactly (state.current_time
+    advances in flush order; self-enrollment happens on the first
+    flushed buffer). Across sessions, overlapped flushes coalesce in
+    the engines' cross-session MicroBatcher (runtime/microbatch.py), so
+    8 concurrent flushes share batched device programs instead of
+    queueing serially — the round-3 p90 regression's fix.
+
+    Bounded by `max_inflight`: when full, submit first drains the
+    oldest future (back-pressure so a slower-than-real-time flush
+    stream cannot queue unboundedly).
+    """
+
+    def __init__(self, run, max_inflight: int = 2):
+        self._run = run
+        self._ex = ThreadPoolExecutor(max_workers=1)
+        self._pending: deque = deque()
+        self._max = max(1, int(max_inflight))
+
+    def submit(self, audio) -> list:
+        """Enqueue a flush; returns any results forced out by back-pressure."""
+        forced: list = []
+        while len(self._pending) >= self._max:
+            forced.extend(self._pending.popleft().result())
+        self._pending.append(self._ex.submit(self._run, audio))
+        return forced
+
+    def drain_ready(self):
+        """Yield results of completed flushes, preserving FIFO order."""
+        while self._pending and self._pending[0].done():
+            yield from self._pending.popleft().result()
+
+    def drain_all(self):
+        while self._pending:
+            yield from self._pending.popleft().result()
+
+    def close(self):
+        self._ex.shutdown(wait=False)
 
 
 @dataclass
@@ -72,6 +123,11 @@ class TargetDiarizationStream(TargetDiarization):
         self.vad_min_silence = vad_min_silence
         self.max_buffer_duration = max_buffer_duration
         self.loudness_diff_threshold = loudness_diff_threshold
+        # async flush: run separation+ASR flush work off the intake path
+        # (TD_ASYNC_FLUSH=0 restores the synchronous in-line behavior)
+        self.async_flush = os.environ.get("TD_ASYNC_FLUSH", "1") != "0"
+        self.max_inflight_flushes = int(
+            os.environ.get("TD_MAX_INFLIGHT_FLUSH", "2"))
 
     # ---------------- preprocessing ----------------
 
@@ -114,27 +170,50 @@ class TargetDiarizationStream(TargetDiarization):
                         target_audio, 16000, start, end)
                 state.target_embedding = self.tasr.get_target_embedding(
                     target_audio)
+        fq = None
+        if self.async_flush:
+            fq = _FlushQueue(
+                lambda a: list(self.process_single_chunk(a, is_single, state)),
+                self.max_inflight_flushes)
+
+        def parsed(result):
+            asr_result, target_audio = self.asr_audio_parser(
+                [result], "1", output_target_audio)
+            return "1", asr_result, target_audio
+
         try:
-            for pcm_chunk in audio_stream_generator:
-                chunk = self.chunk_preprocess(pcm_chunk, sampling_rate)
-                for result in self.process_vad_chunk(chunk, is_single, state):
-                    asr_result, target_audio = self.asr_audio_parser(
-                        [result], "1", output_target_audio)
-                    yield "1", asr_result, target_audio
+            try:
+                for pcm_chunk in audio_stream_generator:
+                    chunk = self.chunk_preprocess(pcm_chunk, sampling_rate)
+                    if fq is not None:
+                        for result in fq.drain_ready():
+                            yield parsed(result)
+                    for result in self.process_vad_chunk(
+                            chunk, is_single, state, flush_queue=fq):
+                        yield parsed(result)
+            finally:
+                if state.vad_buffer:
+                    combined = np.concatenate(state.vad_buffer)
+                    sink = (fq.submit(combined) if fq is not None else
+                            self.process_single_chunk(combined, is_single,
+                                                      state))
+                    for result in sink:
+                        yield parsed(result)
+                    state.clear_buffer()
+                if fq is not None:
+                    for result in fq.drain_all():
+                        yield parsed(result)
         finally:
-            if state.vad_buffer:
-                combined = np.concatenate(state.vad_buffer)
-                for result in self.process_single_chunk(combined, is_single, state):
-                    asr_result, target_audio = self.asr_audio_parser(
-                        [result], "1", output_target_audio)
-                    yield "1", asr_result, target_audio
-                state.clear_buffer()
+            if fq is not None:
+                fq.close()
 
     # ---------------- buffering ----------------
 
     def process_vad_chunk(self, pcm_chunk: np.ndarray, is_single: bool,
-                          state: StreamState):
-        """Buffer router (reference :81-107)."""
+                          state: StreamState, flush_queue=None):
+        """Buffer router (reference :81-107). With `flush_queue`, flushes
+        are enqueued to the session's async worker instead of running
+        in-line; yielded results are then earlier flushes' outputs."""
         if pcm_chunk is None or len(pcm_chunk) == 0:
             return
         is_silence = False
@@ -151,13 +230,19 @@ class TargetDiarizationStream(TargetDiarization):
             if is_silence:
                 return
             current = state.vad_buffer[-1]
-            yield from self.process_single_chunk(current, is_single, state)
+            if flush_queue is not None:
+                yield from flush_queue.submit(current)
+            else:
+                yield from self.process_single_chunk(current, is_single, state)
             state.clear_buffer()
             return
         if self.should_wait_for_next_chunk(state, is_silence=is_silence):
             return
         combined = np.concatenate(state.vad_buffer)
-        yield from self.process_single_chunk(combined, is_single, state)
+        if flush_queue is not None:
+            yield from flush_queue.submit(combined)
+        else:
+            yield from self.process_single_chunk(combined, is_single, state)
         state.clear_buffer()
 
     def should_wait_for_next_chunk(self, state: StreamState,

@@ -1,5 +1,8 @@
 """Streaming pipeline tests: buffering rules, per-session state, E2E loop."""
 
+import threading
+import time
+
 import numpy as np
 import pytest
 
@@ -142,6 +145,94 @@ class TestStateIsolation:
         out2 = list(g2)
         # both sessions produce independent (possibly empty) results
         assert isinstance(out1, list) and isinstance(out2, list)
+
+
+class TestAsyncFlush:
+    """The flush path (separation+ASR) runs on a per-session background
+    worker so the chunk intake/decision path never blocks on it
+    (VERDICT r3 ask 2). Semantics must match the synchronous path
+    exactly; concurrent sessions' flushes must overlap."""
+
+    @staticmethod
+    def _strip(results):
+        return [(spk, [{k: item[k] for k in
+                        ("speaker", "timerange", "text", "type")}
+                       for item in res])
+                for spk, res, _ in results]
+
+    def test_async_matches_sync(self, stream_pipeline, chat_mix, female_a,
+                                monkeypatch):
+        audio, sr = chat_mix
+        tgt, _ = female_a
+
+        def run():
+            return self._strip(stream_pipeline.infer_stream(
+                chunk_generator(audio, sr), target_file=np.asarray(tgt),
+                sampling_rate=sr))
+
+        monkeypatch.setattr(stream_pipeline, "async_flush", False)
+        sync_out = run()
+        monkeypatch.setattr(stream_pipeline, "async_flush", True)
+        async_out = run()
+        assert async_out == sync_out
+
+    def test_flush_does_not_block_intake(self, stream_pipeline, monkeypatch):
+        """A slow flush (0.3 s) must not appear in per-chunk intake latency."""
+
+        def slow_flush(pcm_chunk, is_single, state):
+            time.sleep(0.3)
+            yield {"speaker": "1", "timerange": [0.0, 1.0], "text": "x",
+                   "type": "single", "audio": None}
+
+        monkeypatch.setattr(stream_pipeline, "process_single_chunk", slow_flush)
+        monkeypatch.setattr(stream_pipeline, "is_vad_buffer", False)
+        lat = []
+
+        def gen():
+            for _ in range(2):
+                t0 = time.perf_counter()
+                yield np.ones(16000, np.float32) * 0.1
+                lat.append(time.perf_counter() - t0)
+
+        out = list(stream_pipeline.infer_stream(gen()))
+        assert len(out) == 2
+        assert all(t < 0.25 for t in lat), lat
+
+    def test_eight_synchronized_flushes(self, stream_pipeline, monkeypatch):
+        """8 concurrent sessions flush at the same instant; the barrier
+        only releases if all 8 flush workers are in flight concurrently
+        (serialized flushes would deadlock it → timeout → failure)."""
+        barrier = threading.Barrier(8, timeout=60)
+        orig = type(stream_pipeline).process_single_chunk
+
+        def synced(self, pcm_chunk, is_single, state):
+            barrier.wait()
+            yield from orig(self, pcm_chunk, is_single, state)
+
+        monkeypatch.setattr(type(stream_pipeline), "process_single_chunk",
+                            synced)
+        monkeypatch.setattr(stream_pipeline, "is_vad_buffer", False)
+        rng = np.random.default_rng(0)
+        chunks = [(rng.standard_normal(16000) * 0.1).astype(np.float32)
+                  for _ in range(8)]
+        results = [None] * 8
+        errors = []
+
+        def run(i):
+            try:
+                results[i] = list(stream_pipeline.infer_stream(
+                    iter([chunks[i]])))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert not barrier.broken
+        assert all(r is not None for r in results)
 
 
 class TestEndToEnd:
