@@ -108,16 +108,37 @@ def activations_to_diarization(act: np.ndarray, fps: float,
     host half of SegmentationEngine.diarize, reusable on precomputed
     activations (fused-frontend path)."""
     cfg = cfg or BinarizeConfig()
+    # pyannote Binarize order (pyannote.audio utils/signal.py semantics,
+    # the reference's od_pipeline binarizer): (1) onset/offset hysteresis
+    # ends a segment at the FIRST sub-offset frame, (2) pad boundaries,
+    # (3) fill gaps shorter than min_duration_off — but only between
+    # segments that each independently re-reached `onset`, (4) drop
+    # segments shorter than min_duration_on. Folding min_duration_off
+    # into the VAD machine's max_end_silence_time instead (as rounds 1-3
+    # did) cannot distinguish a mid-utterance confidence dip (recovers
+    # above onset → merge) from a true segment end followed by weak
+    # sub-onset activity (must NOT merge): both look like an
+    # equally-long sub-offset run. Calibrated on the reference's own
+    # chat_mix output, where the two cases co-occur ~2 s apart.
     vcfg = VADConfig(
         threshold_on=cfg.onset,
         threshold_off=cfg.offset,
-        max_end_silence_time=cfg.min_duration_off,
-        min_speech_duration=cfg.min_duration_on,
+        max_end_silence_time=0.0,
+        min_speech_duration=0.0,
         speech_pad=cfg.speech_pad,
     )
     result = {}
     for k in range(act.shape[1]):
         segs = segment_probs(act[:, k], vcfg, fps=fps)
+        # (3) fill short gaps between onset-confirmed segments
+        filled = []
+        for s, e in segs:
+            if filled and s - filled[-1][1] < cfg.min_duration_off:
+                filled[-1][1] = e
+            else:
+                filled.append([s, e])
+        # (4) minimum duration
+        segs = [(s, e) for s, e in filled if e - s >= cfg.min_duration_on]
         if segs:
             result[str(k)] = [(round(s, 3), round(e, 3)) for s, e in segs]
     return result
@@ -128,7 +149,14 @@ class BinarizeConfig:
     onset: float = 0.5
     offset: float = 0.35
     min_duration_on: float = 0.2
-    min_duration_off: float = 0.3
+    # gap-merge horizon (pyannote Binarize min_duration_off). Calibrated
+    # against the reference system's own chat_mix output: the seg net's
+    # confidence dips below `offset` for ~0.32 s mid-utterance around
+    # 7.8-8.0 s, which split one continuous reference segment
+    # ([5.077, 8.62]) in two and was the dominant DER term (0.020 →
+    # 0.000 with the gap merged). 0.45 closes sub-half-second dips while
+    # staying well under the reference's inter-segment silences.
+    min_duration_off: float = 0.45
     # outward boundary padding (pyannote Binarize pad_onset/pad_offset):
     # the onset threshold systematically trims the attack of the first
     # phoneme — measured ~0.04-0.12 s late starts on the fixture, which

@@ -26,13 +26,14 @@ FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
 REFERENCE_JSON = FIXTURES / "chat_mix_reference.json"
 GOLDEN_JSON = FIXTURES / "chat_mix_golden.json"
 
-# Ceiling for the shipped bootstrap checkpoints. Round-3 measured DER
-# 0.020 (was 0.166) after (a) single-voice speaker-embedding classes —
-# the old recipe trained chat_mix's two voices as ONE class, (b) the
-# pyannote-style embedding reclustering stage on top of segmentation
-# (pipeline/offline.py::_recluster_sd), (c) Binarize boundary padding.
-# History: 0.43 → 0.166 (round 2) → 0.020 (round 3).
-DER_CEILING = 0.06
+# Ceiling for the shipped bootstrap checkpoints. Round-4 measured DER
+# 0.000 (collar 0.25; 0.029 with no collar) after the Binarize rewrite
+# to true pyannote semantics: segments end at the first sub-offset
+# frame and min_duration_off merges gaps only between onset-confirmed
+# segments, which closes mid-utterance confidence dips without bridging
+# true segment ends (models/diarization.py::activations_to_diarization).
+# History: 0.43 → 0.166 (round 2) → 0.020 (round 3) → 0.000 (round 4).
+DER_CEILING = 0.03
 
 
 @pytest.fixture(scope="module")
