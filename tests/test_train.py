@@ -290,6 +290,117 @@ class TestPerceptualMetrics:
         assert "stoi" in head and "pesq" in head
 
 
+class TestPESQConformance:
+    """P.862 conformance battery (VERDICT r3 ask 9).
+
+    No published P.862 reference vectors exist in this environment
+    (pesq library and ITU test files absent), so this is the strongest
+    available substitute: graded-degradation ladders must score in the
+    correct order with plausible magnitudes, level changes must be
+    near-neutral (P.862 level-aligns to a fixed active speech level),
+    and pure delays must be absorbed by time alignment. What this does
+    and does not certify is documented in docs/PARITY.md.
+    """
+
+    def _speech(self):
+        from targetdiarization_tpu.utils.audio_io import read_audio
+
+        audio, sr = read_audio("/root/reference/assets/female_a.wav")
+        return np.asarray(audio)[: sr * 2], sr
+
+    def _pesq(self):
+        from targetdiarization_tpu.train.perceptual import pesq
+
+        return pesq
+
+    def test_awgn_mos_vs_snr_shape(self):
+        """Speech+AWGN: the canonical P.862 curve rises ~2 MOS between
+        5 and 35 dB SNR with meaningful per-step gains."""
+        pesq = self._pesq()
+        x, sr = self._speech()
+        rng = np.random.default_rng(0)
+        noise = rng.standard_normal(len(x)).astype(np.float32)
+        scores = {}
+        for snr_db in (5, 15, 25, 35):
+            n = noise * np.sqrt(np.mean(x**2) / np.mean(noise**2)
+                                * 10 ** (-snr_db / 10))
+            scores[snr_db] = pesq(x, x + n, sr)
+        vals = [scores[s] for s in (5, 15, 25, 35)]
+        assert all(a < b for a, b in zip(vals, vals[1:])), scores
+        assert scores[35] - scores[5] >= 1.5, scores
+        assert all(b - a >= 0.15 for a, b in zip(vals, vals[1:])), scores
+        assert scores[5] < 2.8 and scores[35] > 3.5, scores
+
+    def test_clipping_ladder(self):
+        """Hard clipping at decreasing thresholds must order correctly."""
+        pesq = self._pesq()
+        x, sr = self._speech()
+        peak = np.max(np.abs(x))
+        scores = [pesq(x, np.clip(x, -peak * c, peak * c), sr)
+                  for c in (0.6, 0.3, 0.15, 0.075)]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+        assert scores[0] - scores[-1] >= 0.8, scores
+
+    def test_mnru_ladder(self):
+        """MNRU (modulated noise reference unit, the P.862 anchor
+        degradation): y = x·(1 + n·10^(-Q/20)); lower Q = worse."""
+        pesq = self._pesq()
+        x, sr = self._speech()
+        rng = np.random.default_rng(2)
+        n = rng.standard_normal(len(x)).astype(np.float32)
+        scores = [pesq(x, x * (1.0 + n * 10 ** (-q / 20)), sr)
+                  for q in (35, 25, 15, 5)]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+        assert scores[0] - scores[-1] >= 1.0, scores
+
+    def test_level_neutrality(self):
+        """P.862 aligns both signals to a fixed active level: pure gain
+        changes must barely move the score."""
+        pesq = self._pesq()
+        x, sr = self._speech()
+        base = pesq(x, x, sr)
+        for g in (0.25, 0.5):  # attenuations never clip
+            got = pesq(x, x * g, sr)
+            assert abs(got - base) < 0.25, (g, base, got)
+        # amplification that actually clips samples IS a degradation;
+        # it must not score above the clean baseline
+        assert pesq(x, np.clip(x * 2.0, -1.0, 1.0), sr) <= base + 1e-6
+
+    def test_pure_delay_absorbed(self):
+        """Constant delays are removed by time alignment; scores stay
+        near-clean."""
+        pesq = self._pesq()
+        x, sr = self._speech()
+        base = pesq(x, x, sr)
+        for d_ms in (10, 50, 120):
+            got = pesq(x, np.roll(x, int(sr * d_ms / 1000)), sr)
+            assert got > base - 0.3, (d_ms, base, got)
+
+    def test_score_range(self):
+        """Raw P.862 scores live in [-0.5, 4.64]; every battery output
+        must stay in range, including for unrelated signals."""
+        pesq = self._pesq()
+        x, sr = self._speech()
+        rng = np.random.default_rng(5)
+        junk = rng.standard_normal(len(x)).astype(np.float32) * 0.1
+        for deg in (x, -x, junk, np.zeros_like(x) + 1e-6):
+            s = pesq(x, deg, sr)
+            assert -0.5 <= s <= 4.8, s
+
+    def test_cross_ladder_ranking(self):
+        """Severe degradations from one family must rank below mild
+        degradations from another — a cross-family sanity P.862 obeys."""
+        pesq = self._pesq()
+        x, sr = self._speech()
+        rng = np.random.default_rng(3)
+        noise = rng.standard_normal(len(x)).astype(np.float32)
+        mild_noise = x + noise * np.sqrt(
+            np.mean(x**2) / np.mean(noise**2) * 10 ** (-3.0))  # 30 dB SNR
+        severe_clip = np.clip(x, -0.05 * np.max(np.abs(x)),
+                              0.05 * np.max(np.abs(x)))
+        assert pesq(x, mild_noise, sr) > pesq(x, severe_clip, sr) + 0.5
+
+
 class TestMetricsTranscriptHook:
     """Reference harness logs per-sample ASR transcripts
     (look2hear/metrics/asr.py:1-12); ours via any ASREngine-contract
