@@ -345,6 +345,35 @@ def _gn(dim, name):
     return nn.GroupNorm(num_groups=1, epsilon=1.1920929e-7, name=name)
 
 
+class _MaskedGN1(nn.Module):
+    """nn.GroupNorm(num_groups=1) with optionally masked (T, C) stats.
+    Same param names/shapes ('scale', 'bias') as _gn, so torch port
+    rules are unaffected; mask=None (or all-ones) reproduces _gn
+    exactly. Padded frames are zeroed on output (docs/PARITY.md
+    "padded-bucket deviation")."""
+
+    dim: int
+    eps: float = 1.1920929e-7
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if mask is None:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+            m = None
+        else:
+            m = mask.astype(x.dtype)[..., None]
+            denom = jnp.maximum(
+                jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1], 1.0)
+            mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / denom
+            var = jnp.sum(jnp.square(x - mean) * m,
+                          axis=(1, 2), keepdims=True) / denom
+        out = scale * (x - mean) / jnp.sqrt(var + self.eps) + bias
+        return out if m is None else out * m
+
+
 def _segment_ref(x, k: int):
     """Reference _Segmentation (dprnn.py:286-301), channels-last:
     (B, L, N) → (B, S, K, N) via end-pad `gap`, P-pad both sides, and
@@ -424,12 +453,13 @@ class DPRNNTasNet(nn.Module):
                     use_bias=False, name="encoder")(wav[..., None])
         x = jax.nn.relu(x)
         t = x.shape[1]
+        mask = None
         if lengths is not None:
             stride = max(self.kernel_size // 2, 1)
             mask = _length_mask(
                 jnp.clip((lengths - self.kernel_size) // stride + 1, 1, t), t)
             x = x * mask[..., None]
-        h = _gn(self.enc_channels, "in_norm")(x)
+        h = _MaskedGN1(self.enc_channels, name="in_norm")(x, mask)
         h = nn.Dense(self.dim, use_bias=False, name="bottleneck")(h)
         seg, gap = _segment_ref(h, self.chunk)
         for i in range(self.n_layers):
@@ -465,12 +495,29 @@ class _GLNBDT(nn.Module):
     eps: float = 1.1920929e-7
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        # optional `mask` (B, T): statistics over valid frames only, so a
+        # bucket-padded forward matches the exact-length one at this norm
+        # (docs/PARITY.md "padded-bucket deviation"). Param names/shapes
+        # are unchanged — torch port rules are unaffected, and with a
+        # full mask this is numerically the unmasked reference norm.
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
         beta = self.param("beta", nn.initializers.zeros, (self.dim,))
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+        if mask is None:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+            m = None
+        else:
+            m = mask.astype(x.dtype)[..., None]
+            denom = jnp.maximum(
+                jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1], 1.0)
+            mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / denom
+            var = jnp.sum(jnp.square(x - mean) * m,
+                          axis=(1, 2), keepdims=True) / denom
+        out = gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+        # padded frames are zeroed (not β-valued) so downstream chunking/
+        # recurrence sees them as close to "absent" as static shapes allow
+        return out if m is None else out * m
 
 
 class _TorchMHA(nn.Module):
@@ -577,12 +624,13 @@ class DPTNet(nn.Module):
                     use_bias=False, name="encoder")(wav[..., None])
         x = jax.nn.relu(x)
         t = x.shape[1]
+        mask = None
         if lengths is not None:
             mask = _length_mask(
                 jnp.clip((lengths - self.kernel_size) // self.stride + 1,
                          1, t), t)
             x = x * mask[..., None]
-        h = _GLNBDT(self.enc_channels, name="enc_ln")(x)
+        h = _GLNBDT(self.enc_channels, name="enc_ln")(x, mask)
         seg = _split_unfold(h, self.chunk)
         for i in range(self.n_layers):
             bb, s, k, n = seg.shape
@@ -922,11 +970,12 @@ class SuDORMRF(nn.Module):
                     padding=((s, s),), use_bias=False,
                     name="encoder")(x[..., None])
         t = x.shape[1]
+        mask = None
         if lengths is not None:
             mask = _length_mask(
                 jnp.clip((lengths + 2 * s - k) // s + 1, 1, t), t)
             x = x * mask[..., None]
-        h = _GLNBDT(self.enc_num_basis, eps=1e-8, name="ln")(x)
+        h = _GLNBDT(self.enc_num_basis, eps=1e-8, name="ln")(x, mask)
         h = nn.Dense(self.out_channels, name="bottleneck")(h)
         for i in range(self.num_blocks):
             h = _SuDOBlock(self.out_channels, self.in_channels,
@@ -1095,12 +1144,13 @@ class TDANet(nn.Module):
         x = nn.Conv(basis, (k,), strides=(s,), padding=((k // 2, k // 2),),
                     use_bias=False, name="encoder")(x[..., None])
         t = x.shape[1]
+        mask = None
         if lengths is not None:
             mask = _length_mask(jnp.clip(
                 (lengths + 2 * (k - s) + 2 * (k // 2) - k) // s + 1,
                 1, t), t)
             x = x * mask[..., None]
-        h = _GLNBDT(basis, eps=1e-8, name="ln")(x)
+        h = _GLNBDT(basis, eps=1e-8, name="ln")(x, mask)
         h = nn.Dense(self.out_channels, name="bottleneck")(h)
         block = _TDABlock(self.out_channels, self.in_channels,
                           self.upsampling_depth, name="unet")
@@ -1607,11 +1657,12 @@ class AFRCNN(nn.Module):
                     padding=((s, s),), use_bias=False,
                     name="encoder")(x[..., None])
         t = x.shape[1]
+        mask = None
         if lengths is not None:
             mask = _length_mask(
                 jnp.clip((lengths + 2 * s - k) // s + 1, 1, t), t)
             x = x * mask[..., None]
-        h = _GLNBDT(self.enc_num_basis, eps=1e-8, name="ln")(x)
+        h = _GLNBDT(self.enc_num_basis, eps=1e-8, name="ln")(x, mask)
         h = nn.Dense(self.out_channels, name="bottleneck")(h)
         block = _AFRCNNBlock(self.out_channels, self.in_channels,
                              self.upsampling_depth, name="blocks")
