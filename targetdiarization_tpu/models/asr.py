@@ -126,12 +126,16 @@ class _SANMScanBody(nn.Module):
 
 
 def _sanm_stack(n_layers: int, cross: bool = False):
+    # unroll=2 amortizes the scan loop-boundary overhead (carry layout
+    # round-trips) across two bodies — same trade measured for the
+    # MossFormer2 tower (separation.py MaskNet: −30% device time)
     return nn.scan(
         _SANMScanBody,
         variable_axes={"params": 0},
         split_rngs={"params": True},
         length=n_layers,
         in_axes=(nn.broadcast, nn.broadcast),
+        unroll=2 if n_layers % 2 == 0 else 1,
     )
 
 
