@@ -1646,9 +1646,9 @@ def bootstrap_punc(steps: int = 800, batch: int = 32,
     return metrics
 
 
-def bootstrap_emotion(steps: int = 800, batch: int = 16, seconds: float = 2.0,
+def bootstrap_emotion(steps: int = 4000, batch: int = 32, seconds: float = 2.0,
                       checkpoint_dir: str = "checkpoints/emo-bootstrap",
-                      seed: int = 0, log_fn=print, eval_utts: int = 120) -> dict:
+                      seed: int = 0, log_fn=print, eval_utts: int = 240) -> dict:
     """Train EmotionNet on prosody-transformed fixture speech.
 
     No emotion2vec weights exist in this environment (reference
@@ -1707,10 +1707,17 @@ def bootstrap_emotion(steps: int = 800, batch: int = 16, seconds: float = 2.0,
         return pitch(x, gen.uniform(1.25, 1.4)) * ramp  # surprised
 
     def sample(gen):
-        src = voices[int(gen.integers(len(voices)))]
-        start = int(gen.integers(0, max(len(src) - n, 1)))
-        x = src[start: start + n]
-        x = np.pad(x, (0, n - len(x)))
+        # reject near-silent source windows: prosody transforms are
+        # indistinguishable on silence (round-3 confusion diagnosis:
+        # fearful's tremolo was never learned at 800 steps and quiet
+        # windows carry no modulation signal)
+        for _ in range(8):
+            src = voices[int(gen.integers(len(voices)))]
+            start = int(gen.integers(0, max(len(src) - n, 1)))
+            x = src[start: start + n]
+            x = np.pad(x, (0, n - len(x)))
+            if float(np.sqrt(np.mean(x ** 2))) >= 5e-3:
+                break
         ci = int(gen.integers(len(classes)))
         return transform(x, classes[ci], gen).astype(np.float32), ci
 
@@ -1752,14 +1759,20 @@ def bootstrap_emotion(steps: int = 800, batch: int = 16, seconds: float = 2.0,
     eng = EmotionEngine(params=params)
     gen = np.random.default_rng(seed + 999)
     correct = 0
+    confusion = np.zeros((len(classes), len(classes)), np.int64)
     for _ in range(eval_utts):
         x, ci = sample(gen)
         out = eng.emotion_detection(x)
         top = out["labels"][int(np.argmax(out["scores"]))]
+        pj = classes.index(top) if top in classes else ci
+        confusion[ci, pj] += 1
         correct += int(top == classes[ci])
     metrics = {
         "final_loss": float(loss),
         "eval_accuracy": correct / max(eval_utts, 1),
+        "confusion": {c: {classes[j]: int(confusion[i, j])
+                          for j in range(len(classes)) if confusion[i, j]}
+                      for i, c in enumerate(classes)},
         "checkpoint": checkpoint_dir,
     }
     log_fn(f"emotion bootstrap: {metrics}")
@@ -1771,7 +1784,9 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
                       seed: int = 0, log_fn=print, eval_utts: int = 50,
                       dim: int = 128, enc_layers: int = 3, dec_layers: int = 2,
                       ffn: int = 512, phase1_steps: int | None = None,
-                      device_synth: bool = False) -> dict:
+                      device_synth: bool = False,
+                      init_from: str | None = None, aug_frac: float = 0.0,
+                      denoiser_dir: str = "checkpoints/den-bootstrap") -> dict:
     """Train the Whisper-style enc-dec ASR on the synthetic language
     (teacher-forced CE; greedy-decode CER on held-out utterances) —
     fills the reference's whisper_v2/v3/finetune engine slots
@@ -1846,10 +1861,18 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
 
     model = WhisperStyleASR(vocab_size=len(tok), dim=dim, heads=4, ffn=ffn,
                             enc_layers=enc_layers, dec_layers=dec_layers)
-    params = model.init(jax.random.PRNGKey(seed),
-                        jnp.zeros((1, t_frames, 80)),
-                        jnp.ones((1, t_frames)),
-                        jnp.zeros((1, u), jnp.int32))
+    if init_from:
+        # fine-tune variant: continue from an existing checkpoint at the
+        # same geometry (whisper_finetune slot — the reference's third
+        # Whisper engine is a fine-tuned v3, ASRProcessor.py:210-252)
+        from ..runtime.params import load_checkpoint
+
+        params, _ = load_checkpoint(init_from)
+    else:
+        params = model.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1, t_frames, 80)),
+                            jnp.ones((1, t_frames)),
+                            jnp.zeros((1, u), jnp.int32))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, 1e-3, warmup_steps=min(100, steps // 10 + 1),
         decay_steps=max(steps, 2))
@@ -1876,15 +1899,44 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
     p1 = steps if not device_synth else (
         phase1_steps if phase1_steps is not None else min(3000, steps // 3))
     if device_synth:
+        import os as _os
+
         from .synth import BOOT_CHARS
         from .synth_device import add_noise, render_batch
 
         boot2tok = np.asarray(tok.encode(BOOT_CHARS), np.int32)
 
+        # preprocess-chain augmentation (whisper_finetune variant): the
+        # first aug_frac of each fresh batch runs through the pipeline's
+        # exact preprocess graph (loudness → MDX denoise → loudness →
+        # int16 round-trip) — the same recipe that took the Paraformer
+        # from CER 0.063 to 0.00 through the preprocess chain
+        n_aug = int(round(batch * aug_frac))
+        den_eng = None
+        if n_aug > 0 and _os.path.isdir(denoiser_dir):
+            from ..models.denoise import DenoiseEngine
+
+            den_eng = DenoiseEngine.from_pretrained(denoiser_dir)
+        dn_p = den_eng._params_c if den_eng is not None else None
+
         def synth_graph(key, boot_idx, n_chars):
             k1, k2 = jax.random.split(key)
             r = render_batch(k1, boot_idx, n_chars, n)
             audio = add_noise(k2, r["audio"], r["n_valid"])
+            if n_aug > 0 and den_eng is not None:
+                from ..models.denoise import denoise_chain_16k
+                from ..pipeline.fused import _masked_loudness_normalize
+
+                def _pre(a, nv):
+                    a = _masked_loudness_normalize(a, 16000, nv)
+                    valid = (jnp.arange(n) < nv).astype(jnp.float32)
+                    a = denoise_chain_16k(den_eng, dn_p, a, n) * valid
+                    a = _masked_loudness_normalize(a, 16000, nv)
+                    q = jnp.clip(jnp.round(a * 32768.0), -32768, 32767)
+                    return q / 32768.0
+
+                aug = jax.vmap(_pre)(audio[:n_aug], r["n_valid"][:n_aug])
+                audio = jnp.concatenate([aug, audio[n_aug:]], axis=0)
             nv = r["n_valid"]
             nf = jnp.maximum(jnp.where(nv < 400, 0, 1 + (nv - 400) // 160), 1)
             return audio, nf
@@ -1935,16 +1987,41 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
     eng = WhisperStyleEngine(params=params, model=model, tokenizer=tok,
                              max_decode=max_chars + 2)
     gen = np.random.default_rng(seed + 1)
-    cers = []
+    # preprocessed-eval leg (whisper_finetune evidence): score held-out
+    # utterances through the pipeline's exact preprocess chain too
+    pre_jit = None
+    if device_synth and n_aug > 0 and den_eng is not None:
+        from ..models.denoise import denoise_chain_16k
+        from ..pipeline.fused import _masked_loudness_normalize
+
+        def _pre_eval(a, nv):
+            a = _masked_loudness_normalize(a, 16000, nv)
+            valid = (jnp.arange(n) < nv).astype(jnp.float32)
+            a = denoise_chain_16k(den_eng, dn_p, a, n) * valid
+            a = _masked_loudness_normalize(a, 16000, nv)
+            q = jnp.clip(jnp.round(a * 32768.0), -32768, 32767)
+            return q / 32768.0
+
+        pre_jit = jax.jit(_pre_eval)
+    cers, cers_pre = [], []
     for _ in range(eval_utts):
         text = random_text(gen, 2, max_chars)
         audio, _ = synth_utterance(text, gen)
         res = eng.asr_detection(audio)[0]
         cers.append(cer(text, res["text"]))
+        if pre_jit is not None:
+            buf = np.zeros(n, np.float32)
+            buf[: min(len(audio), n)] = audio[:n]
+            pre = np.asarray(pre_jit(jnp.asarray(buf),
+                                     jnp.asarray(min(len(audio), n))))
+            res = eng.asr_detection(pre[: min(len(audio), n)])[0]
+            cers_pre.append(cer(text, res["text"]))
     metrics = {
         "final_loss": float(loss),
         "eval_cer": float(np.mean(cers)),
         "eval_exact": float(np.mean([c == 0.0 for c in cers])),
+        "eval_cer_preprocessed": (float(np.mean(cers_pre))
+                                  if cers_pre else None),
         "checkpoint": checkpoint_dir,
     }
     log_fn(f"whisper bootstrap: {metrics}")
