@@ -71,6 +71,28 @@ def base64_to_audio(data: str) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32767.0
 
 
+def _asr_checkpoint_name(repo: str, asr_engine: str) -> str:
+    """Default checkpoint per ASR engine. The three Whisper env names
+    are REAL variants with their own checkpoints (the reference ships
+    three distinct Whisper engines, ASRProcessor.py:210-252):
+    whisper_v2 → compact geometry, whisper_v3 → large geometry (also
+    the bare-\"whisper\" default), whisper_finetune → v3 geometry
+    fine-tuned through the pipeline's preprocess chain. Each falls back
+    to the generic whisper-bootstrap when its directory is absent."""
+    eng = str(asr_engine)
+    if eng.startswith("whisper"):
+        variant = {"whisper_v2": "whisper-v2",
+                   "whisper_v3": "whisper-v3",
+                   "whisper_finetune": "whisper-finetune",
+                   "whisper": "whisper-v3"}.get(eng, "whisper-v3")
+        if os.path.exists(os.path.join(repo, "checkpoints", variant)):
+            return variant
+        return "whisper-bootstrap"
+    if eng == "sensevoice":
+        return "sv-bootstrap"
+    return "asr-bootstrap"
+
+
 def build_model(config=None):
     """Construct the TargetDiarizationStream singleton from env config
     (reference startup_event, main.py:101-137)."""
@@ -118,10 +140,7 @@ def build_model(config=None):
         "restoration_model": os.path.join(repo, "checkpoints", "rest-bootstrap"),
         "enhancement_model": os.path.join(repo, "checkpoints", "enh-bootstrap"),
         "asr_model": os.path.join(
-            repo, "checkpoints",
-            "whisper-bootstrap" if str(cfg.asr_engine).startswith("whisper")
-            else ("sv-bootstrap" if cfg.asr_engine == "sensevoice"
-                  else "asr-bootstrap")),
+            repo, "checkpoints", _asr_checkpoint_name(repo, cfg.asr_engine)),
         "punc_model": os.path.join(repo, "checkpoints", "punc-bootstrap"),
         "emotion_model": os.path.join(repo, "checkpoints", "emo-bootstrap"),
     }

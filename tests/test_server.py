@@ -163,3 +163,26 @@ def test_web_ui_served(model):
         assert "Target Diarization" in text and "diarization/stream" in text
 
     with_client(model, steps)
+
+
+def test_whisper_variant_checkpoint_mapping(tmp_path):
+    """The three Whisper env names resolve to distinct checkpoints when
+    present (reference ships three distinct Whisper engines,
+    ASRProcessor.py:210-252), falling back to whisper-bootstrap."""
+    import os
+
+    from targetdiarization_tpu.serve.server import _asr_checkpoint_name
+
+    repo = str(tmp_path)
+    os.makedirs(os.path.join(repo, "checkpoints", "whisper-v2"))
+    os.makedirs(os.path.join(repo, "checkpoints", "whisper-v3"))
+    os.makedirs(os.path.join(repo, "checkpoints", "whisper-finetune"))
+    assert _asr_checkpoint_name(repo, "whisper_v2") == "whisper-v2"
+    assert _asr_checkpoint_name(repo, "whisper_v3") == "whisper-v3"
+    assert _asr_checkpoint_name(repo, "whisper_finetune") == "whisper-finetune"
+    assert _asr_checkpoint_name(repo, "whisper") == "whisper-v3"
+    # fallback when a variant directory is absent
+    assert _asr_checkpoint_name(str(tmp_path / "nope"), "whisper_v2") == \
+        "whisper-bootstrap"
+    assert _asr_checkpoint_name(repo, "sensevoice") == "sv-bootstrap"
+    assert _asr_checkpoint_name(repo, "paraformer") == "asr-bootstrap"
