@@ -38,6 +38,138 @@ def flash_group_attention_reference(q, k, v, u, mask):
     return out_v, out_u
 
 
+def flash_gated_attention_reference(q, k, v, u, mask, lq, lin_kv, lin_ku):
+    """jnp reference for the fully fused FLASH epilogue.
+
+    Combines the quadratic intra-group attention with the global linear
+    term and the output gate (mossformer_block.py FLASH_ShareA_FFConvM
+    att_v/att_u → gating):
+
+        out = (quad_u + lq·lin_ku) ⊙ v ⊙ σ((quad_v + lq·lin_kv) ⊙ u)
+
+    q, k, lq: (B, G, g, d); v, u: (B, G, g, e); mask: (B, G, 1, g);
+    lin_kv, lin_ku: (B, d, e) — the already-normalized global kv
+    summaries. Returns out: (B, G, g, e).
+    """
+    qv, qu = flash_group_attention_reference(q, k, v, u, mask)
+    lin_v = jnp.einsum("bgnd,bde->bgne", lq, lin_kv)
+    lin_u = jnp.einsum("bgnd,bde->bgne", lq, lin_ku)
+    att_v = qv + lin_v
+    att_u = qu + lin_u
+    return (att_u * v) * jax.nn.sigmoid(att_v * u)
+
+
+def _gated_kernel(q_ref, k_ref, v_ref, u_ref, mask_ref, lq_ref,
+                  kv_ref, ku_ref, out_ref):
+    # one grid step per (batch, group); blocks carry leading singletons
+    g = q_ref.shape[2]
+    q, k = q_ref[0, 0], k_ref[0, 0]       # (g, d)
+    v, u = v_ref[0, 0], u_ref[0, 0]       # (g, e)
+    m = mask_ref[0, 0]                    # (1, g)
+    lq = lq_ref[0, 0]                     # (g, d)
+    kv, ku = kv_ref[0], ku_ref[0]         # (d, e)
+    sim = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (1.0 / g)
+    attn = (jnp.square(jnp.maximum(sim, 0.0)) * m).astype(v.dtype)
+    att_v = jnp.dot(attn, v, preferred_element_type=jnp.float32) + \
+        jnp.dot(lq, kv, preferred_element_type=jnp.float32)
+    att_u = jnp.dot(attn, u, preferred_element_type=jnp.float32) + \
+        jnp.dot(lq, ku, preferred_element_type=jnp.float32)
+    vf = v.astype(jnp.float32)
+    uf = u.astype(jnp.float32)
+    out = (att_u * vf) * jax.nn.sigmoid(att_v * uf)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _gated_pallas(q, k, v, u, mask, lq, lin_kv, lin_ku,
+                  interpret: bool = False):
+    b, n_groups, g, d = q.shape
+    e = v.shape[-1]
+    mask = jnp.broadcast_to(mask, (b, n_groups, 1, g))
+
+    def idx(bi, gi):
+        return (bi, gi, 0, 0)
+
+    def idx_b(bi, gi):
+        return (bi, 0, 0)
+
+    isz = q.dtype.itemsize
+    (out,) = pl.pallas_call(
+        _gated_kernel,
+        grid=(b, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, e), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, e), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, g), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, e), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, e), idx_b, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, g, e), idx, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, n_groups, g, e), v.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_groups * g * (g * d + 2 * g * e + 2 * d * e),
+            bytes_accessed=isz * b * n_groups * g * (3 * d + 3 * e + 1),
+            transcendentals=b * n_groups * g * e,  # the sigmoid
+        ),
+        interpret=interpret,
+    )(q, k, v, u, mask, lq, lin_kv, lin_ku)
+    return out
+
+
+@jax.custom_vjp
+def _gated_fused(q, k, v, u, mask, lq, lin_kv, lin_ku):
+    """Fused quad+linear+gate forward (Pallas); reference-formulation
+    backward (same rationale and precision note as _flash_fused)."""
+    interpret = jax.default_backend() != "tpu"
+    return _gated_pallas(q, k, v, u, mask, lq, lin_kv, lin_ku,
+                         interpret=interpret)
+
+
+def _gated_fwd(q, k, v, u, mask, lq, lin_kv, lin_ku):
+    out = _gated_fused(q, k, v, u, mask, lq, lin_kv, lin_ku)
+    return out, (q, k, v, u, mask, lq, lin_kv, lin_ku)
+
+
+def _gated_bwd(res, grad):
+    q, k, v, u, mask, lq, lin_kv, lin_ku = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, u_, lq_, kv_, ku_: flash_gated_attention_reference(
+            q_, k_, v_, u_, mask, lq_, kv_, ku_),
+        q, k, v, u, lq, lin_kv, lin_ku)
+    dq, dk, dv, du, dlq, dkv, dku = vjp(grad)
+    return dq, dk, dv, du, None, dlq, dkv, dku
+
+
+_gated_fused.defvjp(_gated_fwd, _gated_bwd)
+
+
+def flash_gated_attention(q, k, v, u, mask, lq, lin_kv, lin_ku,
+                          use_pallas: bool | None = None):
+    """Fully fused FLASH attention epilogue: quadratic + linear + gate.
+
+    One kernel writes only the gated output — the quad_v/quad_u,
+    lin_v/lin_u, and att_v/att_u intermediates (each (B, T, e), the
+    widest activations in the block) never touch HBM. At the production
+    separator geometry this removes ~6 full-width tensor round-trips
+    per layer vs the two-output kernel + XLA epilogue.
+
+    use_pallas: None = auto (Pallas on TPU, jnp elsewhere);
+    True on non-TPU runs the kernel in interpreter mode (tests).
+    Differentiable either way (custom VJP via the reference formulation).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _gated_fused(q, k, v, u, mask, lq, lin_kv, lin_ku)
+    return flash_gated_attention_reference(q, k, v, u, mask, lq,
+                                           lin_kv, lin_ku)
+
+
 def _kernel(q_ref, k_ref, v_ref, u_ref, mask_ref, outv_ref, outu_ref):
     # block shapes carry a leading singleton (one grid step per group)
     g = q_ref.shape[1]
