@@ -110,8 +110,11 @@ def main():
         chunks = [audio[i: i + sr] for i in range(0, len(audio), sr)]
         lat: list = []
 
+        emis: list = []
+
         def run_session(_):
             times = []
+            m: dict = {}
 
             def gen():
                 next_due = time.perf_counter()
@@ -125,19 +128,32 @@ def main():
                     yield c
                     times.append(time.perf_counter() - t0)
 
-            for _ in model.infer_stream(gen()):
+            for _ in model.infer_stream(gen(), metrics=m):
                 pass
-            return times
+            return times, m.get("emission_s", [])
 
         # warmup one session
         run_session(0)
         lat.clear()
         with ThreadPoolExecutor(max_workers=8) as ex:
-            for times in ex.map(run_session, range(8)):
+            for times, em in ex.map(run_session, range(8)):
                 lat.extend(times)
-        lat_ms = sorted(t * 1000 for t in lat)
-        out["c5_chunk_p50_ms"] = round(lat_ms[len(lat_ms) // 2], 1)
-        out["c5_chunk_p90_ms"] = round(lat_ms[int(len(lat_ms) * 0.9)], 1)
+                emis.extend(em)
+
+        def pct(vals, q):
+            s = sorted(vals)
+            return round(s[min(int(len(s) * q), len(s) - 1)] * 1000, 1)
+
+        # two latency families (VERDICT r4 ask 1): intake = generator
+        # pull gap per chunk (how long the session blocks the client);
+        # emission = chunk arrival → segment result yielded (what a user
+        # actually waits for a transcript — flushes run async, so intake
+        # alone is a vacuous bound)
+        out["c5_chunk_p50_ms"] = pct(lat, 0.50)
+        out["c5_chunk_p90_ms"] = pct(lat, 0.90)
+        if emis:
+            out["c5_emit_p50_ms"] = pct(emis, 0.50)
+            out["c5_emit_p90_ms"] = pct(emis, 0.90)
 
     print(json.dumps(out))
 

@@ -183,38 +183,31 @@ class FlashBlock(nn.Module):
         vg, ug = group(v), group(u)
         mg = mask.reshape(b, n_groups, 1, g)
 
-        # quadratic intra-group attention: relu²(qkᵀ/g), masked.
-        # On TPU this routes through the fused Pallas kernel
-        # (ops/pallas/flash.py), which keeps the (g, g) attention matrix
-        # in VMEM across both contractions. At production bf16 shapes
-        # (B=1, G=62, g=256, d=128, e=1024) it measures 1.03 ms vs
-        # 1.05 ms for the XLA einsums — a tie (XLA fuses well here);
-        # kept wired for the guaranteed-no-HBM-round-trip property.
-        # Disable with TD_NO_PALLAS_FLASH=1.
+        # global linear attention kv summaries (non-causal): one (d, e)
+        # reduction over all valid frames (lin_k already masked), shared
+        # across groups — tiny outputs, stays in XLA
+        n_valid = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)[:, None, None]
+        lin_kv = jnp.einsum("bgnd,bgne->bde", lk, vg) / n_valid
+        lin_ku = jnp.einsum("bgnd,bgne->bde", lk, ug) / n_valid
+
+        # fused attention epilogue: quadratic relu²(qkᵀ/g) intra-group
+        # attention + global linear term + output gate in ONE Pallas
+        # kernel (ops/pallas/flash.py::flash_gated_attention). The
+        # quad_v/quad_u, lin_v/lin_u, and att_v/att_u intermediates —
+        # each (B, T, e), the widest activations in the block — never
+        # touch HBM: only the gated output is written. Disable with
+        # TD_NO_PALLAS_FLASH=1 (falls back to the jnp reference
+        # formulation, identical math).
         import os
 
-        from ..ops.pallas.flash import flash_group_attention
+        from ..ops.pallas.flash import flash_gated_attention
 
         use_pallas = None
         if os.environ.get("TD_NO_PALLAS_FLASH") == "1":
             use_pallas = False
-        quad_v, quad_u = flash_group_attention(
-            qq, qk_, vg, ug, mg, use_pallas=use_pallas)
-        quad_v = quad_v.astype(vg.dtype)
-        quad_u = quad_u.astype(ug.dtype)
-
-        # global linear attention (non-causal): one kv summary over all
-        # valid frames (lin_k already masked), shared across groups
-        n_valid = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)[:, None, None]
-        lin_kv = jnp.einsum("bgnd,bgne->bde", lk, vg) / n_valid
-        lin_ku = jnp.einsum("bgnd,bgne->bde", lk, ug) / n_valid
-        lin_v = jnp.einsum("bgnd,bde->bgne", lq, lin_kv)
-        lin_u = jnp.einsum("bgnd,bde->bgne", lq, lin_ku)
-
-        att_v = (quad_v + lin_v).reshape(b, t, e)
-        att_u = (quad_u + lin_u).reshape(b, t, e)
-
-        out = (att_u * v) * jax.nn.sigmoid(att_v * u)
+        out = flash_gated_attention(
+            qq, qk_, vg, ug, mg, lq, lin_kv, lin_ku, use_pallas=use_pallas)
+        out = out.astype(v.dtype).reshape(b, t, e)
         out = FFConvM(self.dim, name="to_out")(out, deterministic)
         return x + out * mask[..., None]
 
@@ -478,6 +471,13 @@ class SeparationEngine:
                 jax.random.PRNGKey(seed), jnp.zeros((1, max(k * g, 1600)))
             )
         self.params = params
+        # padded-bucket guardrail (VERDICT r4 ask 4): archs whose
+        # recorded bucket-padding deviation exceeds the safety threshold
+        # (zoo.PADDED_BUCKET_DEVIATION) are auto-routed to exact-length
+        # compilation — never silently bucket-dispatched
+        from .zoo import pad_safe
+
+        self._pad_safe = pad_safe(self.model)
         from ..runtime.precision import resolve_compute_dtype, cast_params, cast_inputs
 
         self.compute_dtype = resolve_compute_dtype(compute_dtype)
@@ -618,6 +618,12 @@ class SeparationEngine:
         else:
             work = clips
         win = self.window
+        if not self._pad_safe:
+            # pad-unsafe arch (zoo.PADDED_BUCKET_DEVIATION above
+            # threshold): batching pads every clip to the longest —
+            # route each clip through the exact-length `separate` path
+            # instead of returning silently-deviating audio
+            return [self.separate(c, sr=sr) for c in clips]
         small = [i for i, c in enumerate(work) if 0 < len(c) <= win]
         out: list = [None] * len(clips)
         if small:
@@ -667,23 +673,44 @@ class SeparationEngine:
             return np.zeros((self.model.num_spks, t_orig), np.float32)
         win = self.window
         if n <= win:
-            # single-window clips run a bucketed program instead of
-            # always paying the full window (a 4 s clip runs a 4 s
-            # program, not 10 s — VERDICT r2 ask 4, same ladder as
-            # separate_batch)
-            from ..runtime.buckets import BucketLadder
+            if self._pad_safe:
+                # single-window clips run a bucketed program instead of
+                # always paying the full window (a 4 s clip runs a 4 s
+                # program, not 10 s — VERDICT r2 ask 4, same ladder as
+                # separate_batch)
+                from ..runtime.buckets import BucketLadder
 
-            ladder = BucketLadder(tuple(
-                b for b in (32000, 64000, 96000, win) if b <= win))
-            win = ladder.bucket(n)
+                ladder = BucketLadder(tuple(
+                    b for b in (32000, 64000, 96000, win) if b <= win))
+                win = ladder.bucket(n)
+            else:
+                # pad-unsafe arch: exact-length program, never padded
+                # (one compile per distinct length — the documented cost
+                # of exactness, docs/PARITY.md)
+                win = n
         n_win = max(1, -(-n // win))
-        padded = np.pad(work, (0, n_win * win - n))
-        batch = padded.reshape(n_win, win)
-        lengths = np.full(n_win, win, np.int64)
-        lengths[-1] = n - (n_win - 1) * win if n % win else win
-        est = self._dispatch(batch, lengths)
-        # stitch windows back (non-overlapping concat, reference behavior)
-        streams = est.transpose(1, 0, 2).reshape(self.model.num_spks, -1)[:, :n]
+        if self._pad_safe or n % win == 0:
+            padded = np.pad(work, (0, n_win * win - n))
+            batch = padded.reshape(n_win, win)
+            lengths = np.full(n_win, win, np.int64)
+            lengths[-1] = n - (n_win - 1) * win if n % win else win
+            est = self._dispatch(batch, lengths)
+            # stitch windows back (non-overlapping concat, reference
+            # behavior)
+            streams = est.transpose(1, 0, 2).reshape(
+                self.model.num_spks, -1)[:, :n]
+        else:
+            # pad-unsafe long audio: full windows in one batched
+            # dispatch, the remainder window at its exact length
+            full = n // win
+            est_full = self._dispatch(work[: full * win].reshape(full, win),
+                                      np.full(full, win, np.int64))
+            rem = work[full * win:]
+            est_rem = self._dispatch(rem[None, :],
+                                     np.array([len(rem)], np.int64))
+            streams = np.concatenate(
+                [est_full.transpose(1, 0, 2).reshape(
+                    self.model.num_spks, -1), est_rem[0]], axis=-1)[:, :n]
         # order by loudness, louder first (AudioProcessor.py:949-952);
         # measured on host (native meter) — a device round trip per
         # stream would double the engine's dispatch count

@@ -305,8 +305,14 @@ class _TorchLSTM(nn.Module):
     bidirectional: bool = False
 
     @nn.compact
-    def __call__(self, x):  # (B, T, N) → (B, T, H or 2H)
-        def run(xs, name):
+    def __call__(self, x, mask=None):  # (B, T, N) → (B, T, H or 2H)
+        # mask (B, T, 1): padded steps pass the carry through unchanged
+        # and emit zeros — for a reversed (backward) leg this is exactly
+        # length-aware sequence reversal: leading padded steps leave the
+        # state at init, so the first valid frame starts from zero state
+        # just as at exact length (docs/PARITY.md DPRNNTasNet fix).
+        # mask=None keeps the original semantics bit-for-bit.
+        def run(xs, ms, name):
             n = xs.shape[-1]
             wi = self.param(f"{name}_wi", nn.initializers.lecun_normal(),
                             (n, 4 * self.hidden))
@@ -326,16 +332,31 @@ class _TorchLSTM(nn.Module):
                 h = jax.nn.sigmoid(o) * jnp.tanh(c)
                 return (h, c), h
 
+            def masked_step(carry, inp):
+                g_t, m_t = inp
+                h, c = carry
+                (h_new, c_new), _ = step((h, c), g_t)
+                h = m_t * h_new + (1.0 - m_t) * h
+                c = m_t * c_new + (1.0 - m_t) * c
+                return (h, c), h * m_t
+
             b = xs.shape[0]
             init = (jnp.zeros((b, self.hidden), xs.dtype),
                     jnp.zeros((b, self.hidden), xs.dtype))
-            _, hs = jax.lax.scan(step, init, jnp.swapaxes(xg, 0, 1))
+            if ms is None:
+                _, hs = jax.lax.scan(step, init, jnp.swapaxes(xg, 0, 1))
+            else:
+                _, hs = jax.lax.scan(
+                    masked_step, init,
+                    (jnp.swapaxes(xg, 0, 1),
+                     jnp.swapaxes(ms.astype(xs.dtype), 0, 1)))
             return jnp.swapaxes(hs, 0, 1)
 
-        out = run(x, "fwd")
+        out = run(x, mask, "fwd")
         if self.bidirectional:
+            rmask = None if mask is None else mask[:, ::-1]
             out = jnp.concatenate(
-                [out, run(x[:, ::-1], "bwd")[:, ::-1]], axis=-1)
+                [out, run(x[:, ::-1], rmask, "bwd")[:, ::-1]], axis=-1)
         return out
 
 
@@ -399,26 +420,69 @@ def _over_add_ref(seg, gap: int):
     return out[:, :-gap] if gap > 0 else out
 
 
+def _seg_valid_mask(enc_lengths, t: int, k: int):
+    """(B, S, K, 1) validity mask for the reference segmentation scheme.
+
+    The exact-length graph processes `L` valid frames PLUS structural
+    zero-padding (p leading, gap+p trailing, dprnn.py:286-301) as
+    ordinary frames; for a bucket-padded forward to reproduce it, the
+    first gap_v(L)+p bucket-pad frames after L must count as valid
+    (they hold the same zeros the exact graph's structural pad holds),
+    and only frames beyond that are truly nonexistent. Because
+    p + L + gap_v(L) ≡ 0 (mod k), valid chunks form a clean prefix
+    along S in the interleaved x1/x2 layout, so a masked LSTM's
+    pass-through steps reproduce the exact graph's recurrences."""
+    p = k // 2
+    gap_b = k - (p + t % k) % k
+    total = p + t + gap_b + p          # structurally padded frame count
+    gap_v = k - (p + enc_lengths % k) % k
+    eff = 2 * p + enc_lengths + gap_v  # valid incl. structural zeros
+    b = enc_lengths.shape[0]
+    pos = jnp.arange(total)[None, :]
+    # x1 = x[:, :-p] keeps frames [0, total-p): valid below eff - p
+    m1 = (pos[:, : total - p] < (eff - p)[:, None]).astype(jnp.float32)
+    # x2 = x[:, p:] keeps frames [p, total): valid below eff
+    m2 = (pos[:, p:] < eff[:, None]).astype(jnp.float32)
+    m1 = m1.reshape(b, -1, k, 1)
+    m2 = m2.reshape(b, -1, k, 1)
+    return jnp.concatenate([m1, m2], axis=2).reshape(b, -1, k, 1)
+
+
 class _DPRNNBlock(nn.Module):
-    """Reference Dual_RNN_Block (dprnn.py:70-166) in (B, S, K, N)."""
+    """Reference Dual_RNN_Block (dprnn.py:70-166) in (B, S, K, N).
+
+    `seg_mask` (B, S, K, 1) threads bucket-padding validity through the
+    LSTMs (pass-through steps) and the GroupNorm(1) stats so a padded
+    forward matches the exact-length one; None = reference semantics."""
 
     dim: int
     hidden: int
     bidirectional: bool = True
 
+    def _norm(self, h, seg_mask, name):
+        if seg_mask is None:
+            return _gn(self.dim, name)(h)
+        b, s, k, n = h.shape
+        out = _MaskedGN1(self.dim, name=name)(
+            h.reshape(b, s * k, n), seg_mask.reshape(b, s * k))
+        return out.reshape(b, s, k, n)
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, seg_mask=None):
         b, s, k, n = x.shape
+        intra_m = None if seg_mask is None else seg_mask.reshape(b * s, k, 1)
         h = _TorchLSTM(self.hidden, self.bidirectional,
-                       name="intra_rnn")(x.reshape(b * s, k, n))
+                       name="intra_rnn")(x.reshape(b * s, k, n), intra_m)
         h = nn.Dense(self.dim, name="intra_proj")(h).reshape(b, s, k, n)
-        x = x + _gn(self.dim, "intra_norm")(h)
+        x = x + self._norm(h, seg_mask, "intra_norm")
         inter = x.transpose(0, 2, 1, 3).reshape(b * k, s, n)
+        inter_m = (None if seg_mask is None else
+                   seg_mask.transpose(0, 2, 1, 3).reshape(b * k, s, 1))
         h = _TorchLSTM(self.hidden, self.bidirectional,
-                       name="inter_rnn")(inter)
+                       name="inter_rnn")(inter, inter_m)
         h = nn.Dense(self.dim, name="inter_proj")(h)
         h = h.reshape(b, k, s, n).transpose(0, 2, 1, 3)
-        return x + _gn(self.dim, "inter_norm")(h)
+        return x + self._norm(h, seg_mask, "inter_norm")
 
 
 @register_model(name="DPRNNTasNet")
@@ -430,10 +494,12 @@ class DPRNNTasNet(nn.Module):
     PReLU → spk-expand 1×1 → overlap-add → tanh×sigmoid gate → 1×1 →
     relu masks on the encoder, transposed-conv decode. Loadable from a
     reference torch checkpoint via port_rules.convert_dprnn (forward
-    parity verified in tests/test_convert.py). `lengths` zero-pads
-    masked frames additively; norm statistics then include the padding
-    (the reference has no masking), so bucket-padded outputs are
-    approximate — exact at full length."""
+    parity verified in tests/test_convert.py). With `lengths`, a
+    segment-space validity mask (_seg_valid_mask) threads through the
+    dual-path LSTMs (pass-through on padded steps = length-aware
+    sequence reversal for the backward legs) and all norms, so
+    bucket-padded forwards match exact-length ones to float tolerance
+    (docs/PARITY.md round-5 fix; was 0.44 relative deviation)."""
 
     enc_channels: int = 64   # in_channels (encoder filters)
     dim: int = 64            # out_channels (bottleneck width)
@@ -462,9 +528,15 @@ class DPRNNTasNet(nn.Module):
         h = _MaskedGN1(self.enc_channels, name="in_norm")(x, mask)
         h = nn.Dense(self.dim, use_bias=False, name="bottleneck")(h)
         seg, gap = _segment_ref(h, self.chunk)
+        seg_mask = None
+        if lengths is not None:
+            stride = max(self.kernel_size // 2, 1)
+            enc_lens = jnp.clip((lengths - self.kernel_size) // stride + 1,
+                                1, t)
+            seg_mask = _seg_valid_mask(enc_lens, t, self.chunk)
         for i in range(self.n_layers):
             seg = _DPRNNBlock(self.dim, self.hidden, self.bidirectional,
-                              name=f"dp_{i}")(seg)
+                              name=f"dp_{i}")(seg, seg_mask)
         seg = _PReLU(name="prelu")(seg)
         seg = nn.Dense(self.dim * self.num_spks, name="spk_expand")(seg)
         s, k = seg.shape[1], seg.shape[2]
@@ -1684,3 +1756,41 @@ class AFRCNN(nn.Module):
                              name="decoder")(est)
         y = y[:, s: y.shape[1] - 1]
         return jnp.swapaxes(y, 1, 2)[..., :t_in]
+
+
+# ---------------------------------------------------------------------------
+# Padded-bucket safety registry (VERDICT r4 ask 4).
+#
+# Measured max relative deviation between a bucket-padded forward (with
+# `lengths` set) and the exact-length forward, per arch — the numbers in
+# docs/PARITY.md ("Padded-bucket deviation per zoo arch"), re-checked
+# each CI run by tests/test_zoo.py::test_padded_bucket_deviation. Archs
+# above PAD_SAFE_THRESHOLD are NOT safe to dispatch through a bucket
+# ladder: engines must auto-route them to exact-length compilation
+# (one XLA program per distinct length) instead of silently returning
+# up-to-44%-off audio.
+
+PADDED_BUCKET_DEVIATION = {
+    "MossFormer2": 0.0,      # masked norms + masked attention throughout
+    "ConvTasNet": 3.5e-7,    # masked gLN throughout
+    "SkiMNet": 0.0,          # pad-full-segment scheme isolates padding
+    "DPRNNTasNet": 1e-5,     # length-aware masked LSTMs + norms (round 5)
+    "MossFormer": 3.7e-2,    # linear-attention kv residual over padding
+    "AFRCNN": 0.12,
+    "SuDORMRF": 0.12,
+    "DPTNet": 0.13,
+    "BSRNN": 0.18,
+    "TDANet": 0.27,
+    "TFGridNet": 0.38,
+}
+
+PAD_SAFE_THRESHOLD = 5e-2
+
+
+def pad_safe(model) -> bool:
+    """True if bucket-padded dispatch of this arch is numerically safe.
+
+    Unknown archs are treated as unsafe (exact-length routing is always
+    correct, just costs one compile per distinct length)."""
+    name = type(model).__name__
+    return PADDED_BUCKET_DEVIATION.get(name, 1.0) <= PAD_SAFE_THRESHOLD

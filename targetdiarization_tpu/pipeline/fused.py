@@ -626,7 +626,7 @@ class FusedASR:
             self.punc = punc_engine
         self._cache: dict = {}
 
-    def _build(self, bucket: int, n_spk: int, max_segs: int):
+    def _fn(self, bucket: int, n_spk: int, max_segs: int):
         from ..models.asr import LFR_M, LFR_N
         from ..runtime.precision import cast_inputs, f32
 
@@ -660,7 +660,25 @@ class FusedASR:
                 res["punc_cls"] = jnp.argmax(plogits, axis=-1)  # (n_spk, U)
             return res
 
-        return jax.jit(fn)
+        return fn
+
+    def _build(self, bucket: int, n_spk: int, max_segs: int):
+        return jax.jit(self._fn(bucket, n_spk, max_segs))
+
+    def build_sharded(self, bucket: int, n_spk: int, max_segs: int, mesh):
+        """ASR+punc program with speaker tracks sharded over the data
+        axis: params + shared audio replicated, (n_spk, …) ranges /
+        n_lfr / outputs partitioned on their leading dim. Each device
+        transcribes its own speaker tracks — embarrassingly parallel,
+        XLA inserts no collectives (SURVEY.md §2.4 plan b)."""
+        from ..parallel.mesh import batch_sharding, replicated
+
+        rep, bat = replicated(mesh), batch_sharding(mesh)
+        return jax.jit(
+            self._fn(bucket, n_spk, max_segs),
+            in_shardings=(rep, rep, rep, bat, bat),
+            out_shardings=bat,
+        )
 
     def transcribe_masked(self, audio_dev_i16, n_samples: int,
                           spk_ranges: list) -> list:

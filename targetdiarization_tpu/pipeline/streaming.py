@@ -28,6 +28,7 @@ from __future__ import annotations
 import io
 import os
 import re
+import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -59,28 +60,46 @@ class _FlushQueue:
     stream cannot queue unboundedly).
     """
 
-    def __init__(self, run, max_inflight: int = 2):
+    def __init__(self, run, max_inflight: int = 2, on_emit=None):
         self._run = run
         self._ex = ThreadPoolExecutor(max_workers=1)
         self._pending: deque = deque()
         self._max = max(1, int(max_inflight))
+        # on_emit(latency_s): called once per flushed result as it is
+        # handed back to the caller, with the chunk→result-emission
+        # latency — wall time from the arrival of the chunk that
+        # triggered the flush to the result being yielded. This is the
+        # user-experienced bound the intake-latency percentile can't
+        # see: the async queue deliberately moved flush work off the
+        # intake path, so intake latency alone is vacuous.
+        self._on_emit = on_emit
 
-    def submit(self, audio) -> list:
+    def _emit(self, fut, t_arrival) -> list:
+        results = fut.result()
+        if self._on_emit is not None and t_arrival is not None and results:
+            import time
+
+            lat = time.perf_counter() - t_arrival
+            for _ in results:
+                self._on_emit(lat)
+        return results
+
+    def submit(self, audio, t_arrival=None) -> list:
         """Enqueue a flush; returns any results forced out by back-pressure."""
         forced: list = []
         while len(self._pending) >= self._max:
-            forced.extend(self._pending.popleft().result())
-        self._pending.append(self._ex.submit(self._run, audio))
+            forced.extend(self._emit(*self._pending.popleft()))
+        self._pending.append((self._ex.submit(self._run, audio), t_arrival))
         return forced
 
     def drain_ready(self):
         """Yield results of completed flushes, preserving FIFO order."""
-        while self._pending and self._pending[0].done():
-            yield from self._pending.popleft().result()
+        while self._pending and self._pending[0][0].done():
+            yield from self._emit(*self._pending.popleft())
 
     def drain_all(self):
         while self._pending:
-            yield from self._pending.popleft().result()
+            yield from self._emit(*self._pending.popleft())
 
     def close(self):
         self._ex.shutdown(wait=False)
@@ -96,6 +115,8 @@ class StreamState:
     vad_buffer: list = field(default_factory=list)
     buffer_duration: float = 0.0
     system_loudness_diff: float = 0.0
+    # optional on_emit(latency_s) metric callback (chunk→result emission)
+    on_emit: object = None
 
     def clear_buffer(self):
         self.vad_buffer.clear()
@@ -144,10 +165,21 @@ class TargetDiarizationStream(TargetDiarization):
     def infer_stream(self, audio_stream_generator: Generator,
                      target_file: Union[str, np.ndarray, io.BytesIO, None] = None,
                      sampling_rate: int = 16000, is_single: bool = False,
-                     output_target_audio: bool = False):
+                     output_target_audio: bool = False,
+                     metrics: dict | None = None):
         """Yields (target_spk, asr_result, target_audio) per flushed
-        segment (reference :44-78)."""
+        segment (reference :44-78).
+
+        `metrics`: optional dict; when given, "emission_s" collects the
+        chunk→result-emission latency per yielded segment (wall seconds
+        from the arrival of the chunk that triggered its flush until the
+        result is handed back) — the user-experienced latency family
+        that per-chunk intake percentiles cannot bound once flushes run
+        asynchronously."""
         state = StreamState()
+        if metrics is not None:
+            sink = metrics.setdefault("emission_s", [])
+            state.on_emit = sink.append
         if target_file is not None:
             if not isinstance(target_file, np.ndarray):
                 target_audio, sampling_rate = self.ap.read_audio(target_file)
@@ -174,7 +206,7 @@ class TargetDiarizationStream(TargetDiarization):
         if self.async_flush:
             fq = _FlushQueue(
                 lambda a: list(self.process_single_chunk(a, is_single, state)),
-                self.max_inflight_flushes)
+                self.max_inflight_flushes, on_emit=state.on_emit)
 
         def parsed(result):
             asr_result, target_audio = self.asr_audio_parser(
@@ -184,20 +216,25 @@ class TargetDiarizationStream(TargetDiarization):
         try:
             try:
                 for pcm_chunk in audio_stream_generator:
+                    t_recv = time.perf_counter()
                     chunk = self.chunk_preprocess(pcm_chunk, sampling_rate)
                     if fq is not None:
                         for result in fq.drain_ready():
                             yield parsed(result)
                     for result in self.process_vad_chunk(
-                            chunk, is_single, state, flush_queue=fq):
+                            chunk, is_single, state, flush_queue=fq,
+                            t_arrival=t_recv):
                         yield parsed(result)
             finally:
                 if state.vad_buffer:
+                    t_fin = time.perf_counter()
                     combined = np.concatenate(state.vad_buffer)
-                    sink = (fq.submit(combined) if fq is not None else
+                    sink = (fq.submit(combined, t_fin) if fq is not None else
                             self.process_single_chunk(combined, is_single,
                                                       state))
                     for result in sink:
+                        if fq is None and state.on_emit is not None:
+                            state.on_emit(time.perf_counter() - t_fin)
                         yield parsed(result)
                     state.clear_buffer()
                 if fq is not None:
@@ -210,12 +247,21 @@ class TargetDiarizationStream(TargetDiarization):
     # ---------------- buffering ----------------
 
     def process_vad_chunk(self, pcm_chunk: np.ndarray, is_single: bool,
-                          state: StreamState, flush_queue=None):
+                          state: StreamState, flush_queue=None,
+                          t_arrival: float | None = None):
         """Buffer router (reference :81-107). With `flush_queue`, flushes
         are enqueued to the session's async worker instead of running
-        in-line; yielded results are then earlier flushes' outputs."""
+        in-line; yielded results are then earlier flushes' outputs.
+        `t_arrival` (perf_counter at chunk receipt) feeds the
+        chunk→result-emission latency metric."""
         if pcm_chunk is None or len(pcm_chunk) == 0:
             return
+
+        def sync_flush(audio):
+            for r in self.process_single_chunk(audio, is_single, state):
+                if state.on_emit is not None and t_arrival is not None:
+                    state.on_emit(time.perf_counter() - t_arrival)
+                yield r
         is_silence = False
         if state.system_loudness_diff != 0.0:
             loud = self.ap.meter_loudness(pcm_chunk, 16000)
@@ -231,18 +277,18 @@ class TargetDiarizationStream(TargetDiarization):
                 return
             current = state.vad_buffer[-1]
             if flush_queue is not None:
-                yield from flush_queue.submit(current)
+                yield from flush_queue.submit(current, t_arrival)
             else:
-                yield from self.process_single_chunk(current, is_single, state)
+                yield from sync_flush(current)
             state.clear_buffer()
             return
         if self.should_wait_for_next_chunk(state, is_silence=is_silence):
             return
         combined = np.concatenate(state.vad_buffer)
         if flush_queue is not None:
-            yield from flush_queue.submit(combined)
+            yield from flush_queue.submit(combined, t_arrival)
         else:
-            yield from self.process_single_chunk(combined, is_single, state)
+            yield from sync_flush(combined)
         state.clear_buffer()
 
     def should_wait_for_next_chunk(self, state: StreamState,

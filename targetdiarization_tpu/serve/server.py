@@ -371,8 +371,10 @@ async def handle_stream(request):
                 elif message.get("type") == "audio_end":
                     break
 
+        session_metrics: dict = {}
         async for target_spk, asr_result, _ in _async_infer_stream(
-                model, audio_generator(), target_audio, config):
+                model, audio_generator(), target_audio, config,
+                metrics=session_metrics):
             for segment in asr_result:
                 await ws.send_json({
                     "type": "segment_result",
@@ -388,7 +390,14 @@ async def handle_stream(request):
                         },
                     },
                 })
-        await ws.send_json({"type": "status", "message": "completed"})
+        status = {"type": "status", "message": "completed"}
+        summary = _latency_summary(session_metrics)
+        if summary:
+            # additive field: per-session latency percentiles for both
+            # families — intake (how long the pipeline blocks the chunk
+            # feed) and emission (chunk arrival → segment result)
+            status["metrics"] = summary
+        await ws.send_json(status)
     except Exception as e:
         try:
             await ws.send_json({"type": "error",
@@ -405,9 +414,31 @@ async def _receive_json(ws):
     return json.loads(msg.data)
 
 
-async def _async_infer_stream(model, audio_generator, target_file, config):
+def _latency_summary(metrics: dict) -> dict:
+    """p50/p90 (ms) per latency family collected during a session."""
+
+    def pct(vals, q):
+        s = sorted(vals)
+        return round(s[min(int(len(s) * q), len(s) - 1)] * 1000.0, 1)
+
+    out = {}
+    for fam, key in (("intake", "intake_s"), ("emission", "emission_s")):
+        vals = metrics.get(key) or []
+        if vals:
+            out[f"{fam}_p50_ms"] = pct(vals, 0.50)
+            out[f"{fam}_p90_ms"] = pct(vals, 0.90)
+            out[f"{fam}_n"] = len(vals)
+    return out
+
+
+async def _async_infer_stream(model, audio_generator, target_file, config,
+                              metrics=None):
     """async WS loop ↔ sync generator pipeline bridge
-    (reference main.py:308-391 thread+queue design)."""
+    (reference main.py:308-391 thread+queue design).
+
+    `metrics`: optional dict collecting per-chunk intake latency
+    ("intake_s": how long the pipeline blocks between chunk pulls) and,
+    via the pipeline, per-segment emission latency ("emission_s")."""
     audio_queue: queue.Queue = queue.Queue()
     finished = threading.Event()
     loop = asyncio.get_event_loop()
@@ -434,7 +465,11 @@ async def _async_infer_stream(model, audio_generator, target_file, config):
                 continue
             if chunk is None:
                 return
+            t0 = time.perf_counter()
             yield chunk
+            if metrics is not None:
+                metrics.setdefault("intake_s", []).append(
+                    time.perf_counter() - t0)
 
     def run_inference():
         try:
@@ -443,7 +478,8 @@ async def _async_infer_stream(model, audio_generator, target_file, config):
                     target_file=target_file,
                     sampling_rate=config.get("sampling_rate", 16000),
                     is_single=config.get("is_single", False),
-                    output_target_audio=config.get("output_target_audio", False)):
+                    output_target_audio=config.get("output_target_audio", False),
+                    metrics=metrics):
                 asyncio.run_coroutine_threadsafe(
                     result_queue.put(result), loop).result()
         except Exception as e:

@@ -351,11 +351,22 @@ def bootstrap_speaker(steps: int = 400, batch: int = 16, seconds: float = 2.0,
 def bootstrap_segmentation(steps: int = 300, batch: int = 8,
                            seconds: float = 4.0,
                            checkpoint_dir: str = "checkpoints/seg-bootstrap",
-                           seed: int = 0, log_fn=print) -> dict:
+                           seed: int = 0, log_fn=print,
+                           boundary_weight: float = 0.0,
+                           boundary_frames: int = 3,
+                           slot_gain: bool = False) -> dict:
     """Train the SegmentationNet on synthetic multi-slot scenes: random
     speech crops from the two fixture voices placed on a timeline with
     known per-slot activity → multilabel BCE. Gives working overlap
-    detection and short-audio diarization."""
+    detection and short-audio diarization.
+
+    `boundary_weight` > 0 up-weights BCE by (1 + w) on frames within
+    `boundary_frames` of a slot-activity transition (VERDICT r4 ask 6:
+    the no-collar DER error is boundary error — the collar hides ~30 ms
+    onset/offset slack, and the overlap-onset slot in particular ramps
+    late). `slot_gain` scales each placed crop by U(0.4, 1.0) so the
+    model must flag a quieter second voice joining — the exact shape of
+    the fixture's late overlap onset."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -400,6 +411,8 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
             start = int(rng.integers(0, n - dur))
             s0 = int(rng.integers(0, max(len(src) - dur, 1)))
             crop = src[s0: s0 + dur]
+            if slot_gain:
+                crop = crop * float(rng.uniform(0.4, 1.0))
             audio[start: start + len(crop)] += crop
             f0 = start // (160 * model.downsample)
             f1 = min(t_out, (start + len(crop)) // (160 * model.downsample))
@@ -425,13 +438,31 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
             probs = model.apply(p, feats,
                                 jnp.full((audio.shape[0],), t_frames))
             probs = jnp.clip(probs, 1e-6, 1 - 1e-6)
+
+            # boundary weighting: frames within ±boundary_frames of a
+            # slot transition (per slot, per example) weigh (1 + w)
+            def frame_weights(a):
+                if boundary_weight <= 0.0:
+                    return jnp.ones_like(a)
+                trans = jnp.abs(jnp.diff(a, axis=1))  # (B, T-1, S)
+                trans = jnp.pad(trans, ((0, 0), (0, 1), (0, 0)))
+                near = trans
+                for _ in range(max(boundary_frames - 1, 0)):
+                    near = jnp.maximum(
+                        near,
+                        jnp.maximum(
+                            jnp.pad(near, ((0, 0), (1, 0), (0, 0)))[:, :-1],
+                            jnp.pad(near, ((0, 0), (0, 1), (0, 0)))[:, 1:]))
+                return 1.0 + boundary_weight * jnp.minimum(near, 1.0)
+
             # PIT over slot permutations: slot identity is arbitrary, so
             # score every label-slot ordering and keep the best per example
             def bce_for(perm):
                 a = act[..., perm]
-                return jnp.mean(
-                    -(a * jnp.log(probs) + (1 - a) * jnp.log(1 - probs)),
-                    axis=(1, 2))
+                w = frame_weights(a)
+                bce = -(a * jnp.log(probs) + (1 - a) * jnp.log(1 - probs))
+                return (jnp.sum(bce * w, axis=(1, 2))
+                        / jnp.maximum(jnp.sum(w, axis=(1, 2)), 1.0))
 
             losses = jnp.stack([bce_for(tuple(p_)) for p_ in perms], axis=-1)
             return jnp.mean(jnp.min(losses, axis=-1))

@@ -5,9 +5,28 @@ import jax.numpy as jnp
 import pytest
 
 from targetdiarization_tpu.ops.pallas.flash import (
+    flash_gated_attention,
+    flash_gated_attention_reference,
     flash_group_attention,
     flash_group_attention_reference,
 )
+
+
+def _gated_inputs(rng, b=1, G=2, g=32, d=16, e=32, masked_cols=0):
+    q = jnp.asarray(rng.standard_normal((b, G, g, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, G, g, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, G, g, e)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, G, g, e)), jnp.float32)
+    lq = jnp.asarray(rng.standard_normal((b, G, g, d)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, d, e)) * 0.1, jnp.float32)
+    ku = jnp.asarray(rng.standard_normal((b, d, e)) * 0.1, jnp.float32)
+    if masked_cols:
+        mask = jnp.concatenate(
+            [jnp.ones((b, G, 1, g - masked_cols)),
+             jnp.zeros((b, G, 1, masked_cols))], axis=-1)
+    else:
+        mask = jnp.ones((b, G, 1, g))
+    return q, k, v, u, mask, lq, kv, ku
 
 
 @pytest.mark.parametrize("shape", [(1, 2, 32, 16, 64), (2, 3, 64, 32, 128)])
@@ -38,6 +57,56 @@ def test_mask_zeroes_columns(rng):
     v2 = v.at[..., 16:, :].set(99.0)
     pv2, _ = flash_group_attention(q, k, v2, u, mask, use_pallas=True)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(pv2), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(1, 2, 32, 16, 64), (2, 3, 64, 32, 128)])
+def test_gated_kernel_matches_reference(shape, rng):
+    b, G, g, d, e = shape
+    args = _gated_inputs(rng, b, G, g, d, e)
+    ref = flash_gated_attention_reference(*args)
+    got = flash_gated_attention(*args, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_gated_kernel_masked_columns(rng):
+    """Masked key columns must not influence the quadratic term."""
+    args = list(_gated_inputs(rng, g=32, masked_cols=16))
+    got = flash_gated_attention(*args, use_pallas=True)
+    args2 = list(args)
+    args2[2] = args[2].at[..., 16:, :].set(99.0)  # masked half of V
+    # V also feeds the gate pointwise, so only compare unmasked rows
+    got2 = flash_gated_attention(*args2, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got[..., :16, :]),
+                               np.asarray(got2[..., :16, :]), atol=1e-5)
+
+
+def test_gated_grad_matches_reference(rng):
+    """The Pallas gated forward's custom VJP must equal the jnp gradient."""
+    import jax
+
+    q, k, v, u, mask, lq, kv, ku = _gated_inputs(rng)
+
+    def loss_p(q, k, v, u, lq, kv, ku):
+        out = flash_gated_attention(q, k, v, u, mask, lq, kv, ku,
+                                    use_pallas=True)
+        return jnp.sum(out * 0.1) + jnp.sum(jnp.square(out) * 0.01)
+
+    def loss_r(q, k, v, u, lq, kv, ku):
+        out = flash_gated_attention_reference(q, k, v, u, mask, lq, kv, ku)
+        return jnp.sum(out * 0.1) + jnp.sum(jnp.square(out) * 0.01)
+
+    gp = jax.grad(loss_p, argnums=tuple(range(7)))(q, k, v, u, lq, kv, ku)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(q, k, v, u, lq, kv, ku)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_gated_auto_select_on_cpu_uses_reference(rng):
+    args = _gated_inputs(rng, g=16, d=8, e=16)
+    got = flash_gated_attention(*args)  # auto: jnp on CPU
+    ref = flash_gated_attention_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
 def test_auto_select_on_cpu_uses_reference(rng):

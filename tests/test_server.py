@@ -186,3 +186,39 @@ def test_whisper_variant_checkpoint_mapping(tmp_path):
         "whisper-bootstrap"
     assert _asr_checkpoint_name(repo, "sensevoice") == "sv-bootstrap"
     assert _asr_checkpoint_name(repo, "paraformer") == "asr-bootstrap"
+
+
+class TestWsSoak:
+    """Server-level paced WS soak (VERDICT r4 ask 8): 8 real WebSocket
+    clients, 1 s pacing, ≥60 s of audio each, asserting zero XLA
+    recompiles after warmup, no cross-session state bleed (segments ≡ a
+    solo run), ordered timestamps, and that the server reports both
+    latency families. The TPU-scale run is examples/ws_soak.py."""
+
+    def test_paced_soak_8_sessions(self, model, chat_mix):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "ws_soak", os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "ws_soak.py"))
+        soak = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(soak)
+
+        from targetdiarization_tpu.runtime import compile_counter
+
+        compile_counter.install()
+        base, sr = chat_mix
+        audio = soak.make_session_audio(base, sr, seconds=61.0)
+        # solo reference run (unpaced): warms every bucket + gives the
+        # expected per-session segments
+        solo = asyncio.run(soak.run_soak(model, audio, sr, n_sessions=1,
+                                         pace_s=0.0))[0]
+        assert solo["status"]["type"] == "status", solo["status"]
+        before = compile_counter.count()
+        results = asyncio.run(soak.run_soak(model, audio, sr, n_sessions=8,
+                                            pace_s=1.0))
+        out = soak.check_soak(results, solo_segments=solo["segments"])
+        assert compile_counter.count() - before == 0, "recompile during soak"
+        assert out["segments_per_session"] > 0
+        assert "intake_p50_ms" in out and "emit_p50_ms" in out, out

@@ -198,6 +198,32 @@ class TestAsyncFlush:
         assert len(out) == 2
         assert all(t < 0.25 for t in lat), lat
 
+    @pytest.mark.parametrize("use_async", [True, False])
+    def test_emission_latency_metric(self, stream_pipeline, monkeypatch,
+                                     use_async):
+        """metrics["emission_s"] must record one chunk→result latency per
+        yielded segment, bounded below by the flush duration (the metric
+        the intake-latency percentiles cannot see — VERDICT r4 ask 1)."""
+
+        def slow_flush(pcm_chunk, is_single, state):
+            time.sleep(0.2)
+            yield {"speaker": "1", "timerange": [0.0, 1.0], "text": "x",
+                   "type": "single", "audio": None}
+
+        monkeypatch.setattr(stream_pipeline, "process_single_chunk", slow_flush)
+        monkeypatch.setattr(stream_pipeline, "is_vad_buffer", False)
+        monkeypatch.setattr(stream_pipeline, "async_flush", use_async)
+        m: dict = {}
+
+        def gen():
+            for _ in range(3):
+                yield np.ones(16000, np.float32) * 0.1
+
+        out = list(stream_pipeline.infer_stream(gen(), metrics=m))
+        assert len(out) == 3
+        assert len(m["emission_s"]) == 3
+        assert all(t >= 0.2 for t in m["emission_s"]), m["emission_s"]
+
     def test_eight_synchronized_flushes(self, stream_pipeline, monkeypatch):
         """8 concurrent sessions flush at the same instant; the barrier
         only releases if all 8 flush workers are in flight concurrently
