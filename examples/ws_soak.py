@@ -142,9 +142,13 @@ def main():
 
     with contextlib.redirect_stdout(sys.stderr):
         model = build_model()
-        # warmup session (unpaced): visits every bucket/program once
+        # solo reference session (unpaced): expected per-session segments
         solo = asyncio.run(run_soak(model, audio, sr, n_sessions=1,
                                     pace_s=0.0))[0]
+        # concurrent warmup (unpaced): the cross-session MicroBatcher's
+        # coalesced row-rung programs only compile under concurrency —
+        # a solo warmup never visits them
+        asyncio.run(run_soak(model, audio, sr, n_sessions=8, pace_s=0.0))
     compiles_before = compile_counter.count()
     t0 = time.perf_counter()
     results = asyncio.run(run_soak(model, audio, sr, n_sessions=8,

@@ -93,19 +93,62 @@ def conv_module(x, kernel: int = 17, name: str = "dwconv"):
     return x + y
 
 
+class _ParamBank(nn.Module):
+    """Declares params by (name, shape, init) under this module's scope
+    without computing — used by fused-kernel paths to create the SAME
+    param tree the unfused submodules would (checkpoint compatibility)."""
+
+    spec: tuple
+
+    @nn.compact
+    def __call__(self):
+        inits = {"ones": nn.initializers.ones,
+                 "zeros": nn.initializers.zeros,
+                 "lecun": nn.initializers.lecun_normal()}
+        return [self.param(n, inits[i], s) for n, s, i in self.spec]
+
+
 class FFConvM(nn.Module):
     """norm → Dense → SiLU → depthwise ConvModule.
 
     The reference FLASH blocks pass ScaleNorm (mossformer_block.py:446-448)
     while the gated-FSMN's to_u/to_v hardcode nn.LayerNorm
     (mossformer_block.py:296-311) — `norm` selects which, so reference
-    checkpoints port 1:1."""
+    checkpoints port 1:1.
+
+    On TPU the whole chain runs as ONE Pallas megakernel
+    (ops/pallas/ffconvm.py): the normalized input, dense output, and
+    conv input stay in VMEM — x is read from HBM once and only the
+    final residual-conv output is written. Param tree is identical in
+    both paths (same names/shapes), so checkpoints and torch port rules
+    are unaffected. TD_NO_PALLAS_FFCONVM=1 restores the unfused chain."""
 
     dim_out: int
     norm: str = "scalenorm"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        import os
+
+        from ..ops.pallas.ffconvm import ffconvm_fused, supported
+
+        d = x.shape[-1]
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("TD_NO_PALLAS_FFCONVM") != "1"
+                and supported(d, self.dim_out)):
+            if self.norm == "scalenorm":
+                (g,) = _ParamBank((("g", (1,), "ones"),), name="norm")()
+                na, nb = g, jnp.zeros((1,), x.dtype)
+            else:
+                na, nb = _ParamBank((("scale", (d,), "ones"),
+                                     ("bias", (d,), "zeros")), name="norm")()
+            wk, wb = _ParamBank(
+                (("kernel", (d, self.dim_out), "lecun"),
+                 ("bias", (self.dim_out,), "zeros")), name="proj")()
+            (dwk,) = _ParamBank(
+                (("kernel", (17, 1, self.dim_out), "lecun"),),
+                name="dwconv")()
+            return ffconvm_fused(x, na, nb, wk, wb, dwk, norm=self.norm)
         if self.norm == "scalenorm":
             x = ScaleNorm(name="norm")(x)
         else:  # torch nn.LayerNorm default eps
@@ -324,6 +367,7 @@ class MaskNet(nn.Module):
     group_size: int = 256
     qk_dim: int = 128
     fsmn_inner: int = 256
+    scan_unroll: int = 0  # 0 = auto (see below)
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -344,13 +388,16 @@ class MaskNet(nn.Module):
         # standalone — loop-boundary overheads like carry layout
         # round-trips amortize across the unrolled pair); unroll=4/8
         # gain <3% more while doubling/quadrupling program size again.
+        unroll = self.scan_unroll
+        if unroll <= 0:
+            unroll = 2 if self.num_blocks % 2 == 0 else 1
         stack = nn.scan(
             _MossScanBody,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_blocks,
             in_axes=nn.broadcast,
-            unroll=2 if self.num_blocks % 2 == 0 else 1,
+            unroll=min(unroll, self.num_blocks),
         )
         h, _ = stack(dim=self.dim, group_size=self.group_size,
                      qk_dim=self.qk_dim, fsmn_inner=self.fsmn_inner,
@@ -382,6 +429,7 @@ class MossFormer2(nn.Module):
     qk_dim: int = 128
     fsmn_inner: int = 256
     sample_rate: int = 16000
+    scan_unroll: int = 0  # 0 = auto; see MaskNet
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
@@ -415,6 +463,7 @@ class MossFormer2(nn.Module):
             group_size=self.group_size,
             qk_dim=self.qk_dim,
             fsmn_inner=self.fsmn_inner,
+            scan_unroll=self.scan_unroll,
             name="mask_net",
         )(x, mask, deterministic)
 

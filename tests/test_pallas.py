@@ -222,3 +222,108 @@ def test_flash_kernel_grad_matches_reference(rng):
     for a, b_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Fused FFConvM megakernel (norm → Dense → SiLU → dwconv+residual).
+
+
+def _ff_inputs(rng, b=1, t=300, cin=128, cout=256, k=17):
+    x = jnp.asarray(rng.standard_normal((b, t, cin)) * 0.3, jnp.float32)
+    g = jnp.asarray([1.3], jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(cin), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(cin), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((cin, cout)) * 0.05, jnp.float32)
+    wb = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    dwk = jnp.asarray(rng.standard_normal((k, 1, cout)) * 0.2, jnp.float32)
+    return x, g, scale, bias, wk, wb, dwk
+
+
+@pytest.mark.parametrize("norm", ["scalenorm", "layernorm"])
+def test_ffconvm_kernel_matches_reference(norm, rng):
+    from targetdiarization_tpu.ops.pallas.ffconvm import (
+        ffconvm_fused, ffconvm_reference)
+
+    x, g, scale, bias, wk, wb, dwk = _ff_inputs(rng)
+    na, nb = (g, jnp.zeros((1,))) if norm == "scalenorm" else (scale, bias)
+    ref = ffconvm_reference(x, na, nb, wk, wb, dwk, norm=norm)
+    got = ffconvm_fused(x, na, nb, wk, wb, dwk, norm=norm, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ffconvm_kernel_multi_tile_and_chunks(rng):
+    """Time long enough for several tiles; cout > chunk size exercises
+    the cout grid axis; odd T exercises the tail mask."""
+    from targetdiarization_tpu.ops.pallas.ffconvm import (
+        ffconvm_fused, ffconvm_reference)
+
+    x, g, _, _, wk, wb, dwk = _ff_inputs(rng, t=1111, cin=128, cout=2048)
+    na, nb = g, jnp.zeros((1,))
+    ref = ffconvm_reference(x, na, nb, wk, wb, dwk)
+    got = ffconvm_fused(x, na, nb, wk, wb, dwk, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ffconvm_edge_padding_is_zero(rng):
+    """Rows outside [0, T) contribute zero to the conv (array-edge SAME
+    padding) even though in-array silent rows contribute silu(bias)."""
+    from targetdiarization_tpu.ops.pallas.ffconvm import (
+        ffconvm_fused, ffconvm_reference)
+
+    x, g, _, _, wk, wb, dwk = _ff_inputs(rng, t=300)
+    na, nb = g, jnp.zeros((1,))
+    ref = ffconvm_reference(x, na, nb, wk, wb, dwk)
+    got = ffconvm_fused(x, na, nb, wk, wb, dwk, use_pallas=True)
+    # the first/last span rows are where edge handling shows
+    np.testing.assert_allclose(np.asarray(got[:, :20]),
+                               np.asarray(ref[:, :20]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[:, -20:]),
+                               np.asarray(ref[:, -20:]), atol=2e-4)
+
+
+def test_ffconvm_grad_matches_reference(rng):
+    import jax
+
+    from targetdiarization_tpu.ops.pallas.ffconvm import (
+        ffconvm_fused, ffconvm_reference)
+
+    x, g, _, _, wk, wb, dwk = _ff_inputs(rng, t=96, cin=128, cout=128)
+    na, nb = g, jnp.zeros((1,))
+
+    def loss_p(x, na, wk, wb, dwk):
+        return jnp.sum(jnp.square(ffconvm_fused(
+            x, na, nb, wk, wb, dwk, use_pallas=True)))
+
+    def loss_r(x, na, wk, wb, dwk):
+        return jnp.sum(jnp.square(ffconvm_reference(x, na, nb, wk, wb, dwk)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(x, na, wk, wb, dwk)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, na, wk, wb, dwk)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-2, rtol=1e-3)
+
+
+def test_ffconvm_module_fused_matches_unfused(rng, monkeypatch):
+    """FFConvM with the fused kernel forced on (interpret mode) must
+    match the unfused module chain on the same params."""
+    import jax
+
+    from targetdiarization_tpu.models.separation import FFConvM
+    from targetdiarization_tpu.ops.pallas import ffconvm as ffmod
+
+    x = jnp.asarray(rng.standard_normal((1, 200, 128)) * 0.3, jnp.float32)
+    for norm in ("scalenorm", "layernorm"):
+        mod = FFConvM(256, norm=norm)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        want = mod.apply(params, x)  # CPU → unfused chain
+        # force the fused path by faking a TPU backend check
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            ffmod.jax, "default_backend", lambda: "cpu", raising=False)
+        got = mod.apply(params, x)
+        monkeypatch.undo()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
