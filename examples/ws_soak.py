@@ -145,9 +145,11 @@ def main():
         # solo reference session (unpaced): expected per-session segments
         solo = asyncio.run(run_soak(model, audio, sr, n_sessions=1,
                                     pace_s=0.0))[0]
-        # concurrent warmup (unpaced): the cross-session MicroBatcher's
-        # coalesced row-rung programs only compile under concurrency —
-        # a solo warmup never visits them
+        # deterministic grid prewarm + one concurrent pass: the
+        # cross-session MicroBatcher's coalesced row-rung programs only
+        # compile under concurrency, and which (bucket, rows) combos a
+        # live run visits depends on flush timing — sweep the full grid
+        model.prewarm_streaming(max_sessions=8)
         asyncio.run(run_soak(model, audio, sr, n_sessions=8, pace_s=0.0))
     compiles_before = compile_counter.count()
     t0 = time.perf_counter()

@@ -150,6 +150,79 @@ class TargetDiarizationStream(TargetDiarization):
         self.max_inflight_flushes = int(
             os.environ.get("TD_MAX_INFLIGHT_FLUSH", "2"))
 
+    # ---------------- warmup ----------------
+
+    def prewarm_streaming(self, max_sessions: int = 8) -> int:
+        """Deterministically compile every device program a paced
+        multi-session streaming run can reach, so N ≤ max_sessions
+        concurrent sessions trigger ZERO XLA compiles (the soak
+        invariant, examples/ws_soak.py). A single warmup session cannot
+        do this: the cross-session MicroBatcher's coalesced row-rung
+        programs (stream analyzer / ASR / separation) only exist under
+        concurrency, and which (bucket, rows) combos a live run visits
+        depends on flush timing. Returns the number of programs warmed.
+        Intended for serve startup; every compile lands in the
+        persistent cache, so restarts pay disk loads only."""
+        from ..runtime.buckets import BucketLadder
+        from .fused import _LADDER
+
+        n = 0
+        max_buf = int(self.max_buffer_duration * 16000)
+        max_bucket = _LADDER.bucket(min(max_buf, _LADDER.rungs[-1]))
+
+        def rows_of(ladder):
+            rungs = ladder.rungs if isinstance(ladder, BucketLadder) else ladder
+            return [r for r in rungs if r <= max(max_sessions, 1)]
+
+        # 1) chunk-decision analyzer: (buffer bucket × row rung) grid
+        sa = self._stream_analyzer
+        if sa is not None:
+            cs = sa.CHUNK_LADDER.bucket(16000)  # 1 s design point
+            for bucket in _LADDER.rungs:
+                if bucket > max_bucket:
+                    break
+                for nb in rows_of(sa.ROW_LADDER):
+                    items = [(np.zeros(min(bucket, 16000), np.float32),
+                              np.zeros(16000, np.float32))] * nb
+                    sa._run_batch((bucket, cs), items)
+                    n += 1
+        # 2) flush-path ASR: (sample bucket × row rung)
+        asr = getattr(self.tasr.asrp, "asr", None)
+        if asr is not None and hasattr(asr, "_run_mb"):
+            from ..models.asr import _SAMPLE_LADDER
+
+            for bucket in _SAMPLE_LADDER.rungs:
+                if bucket > max(max_bucket, _SAMPLE_LADDER.rungs[0]):
+                    break
+                for nb in rows_of(asr.ROW_LADDER):
+                    items = [(np.zeros(bucket, np.int16), 16000)] * nb
+                    asr._run_mb(bucket, items)
+                    n += 1
+        # 3) speaker embeddings: rows {1, 2} per bucket (R5 prev/chunk
+        # pairs and per-segment embeddings are 1-2 row dispatches)
+        spk = getattr(self.tasr, "spk", None)
+        if spk is not None:
+            from ..models.speaker import _SAMPLE_LADDER as SPK_LADDER
+
+            for bucket in SPK_LADDER.rungs:
+                if bucket > max(max_bucket, SPK_LADDER.rungs[0]):
+                    break
+                for rows in (1, 2):
+                    spk.embed_batch([np.zeros(bucket, np.float32)] * rows)
+                    n += 1
+        # 4) overlap-flush separation: (window bucket × row rung)
+        sep = getattr(self.ap, "separator", None)
+        if sep is not None and getattr(sep, "_mb", None) is not None:
+            for bucket in (32000, 64000, 96000, sep.window):
+                if bucket > max(max_bucket, 32000) or bucket > sep.window:
+                    continue
+                for nb in rows_of(sep.ROW_LADDER):
+                    items = [(np.zeros((1, bucket), np.float32),
+                              np.ones(1, np.int64))] * nb
+                    sep._run_mb(bucket, items)
+                    n += 1
+        return n
+
     # ---------------- preprocessing ----------------
 
     def chunk_preprocess(self, audio_data: np.ndarray, sampling_rate: int

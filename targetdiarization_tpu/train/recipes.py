@@ -1995,16 +1995,37 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
                                   jnp.asarray(boot_idx), jnp.asarray(n_chars))
             return audio, nf, tok_in, tgt, tgt_mask
 
+    # adaptive curriculum switch: leaving the finite corpus before the
+    # cross-attention alignment has locked strands the model at the
+    # unigram prior forever (fresh synthesis can't re-lock it) — gate
+    # the phase-2 switch on CE actually having dropped, with a hard cap
+    # so a failed run still terminates. Round-5 lesson: the 256-dim v3
+    # run hit the fixed p1=4000 switch at CE≈3.1 and never recovered.
+    phase1_exit_loss = 1.5
+    p1_cap = min(max(p1 * 3, p1 + 6000), steps) if device_synth else p1
+    in_phase1 = p1 > 0
+    loss = jnp.float32(999.0)
     for i in range(steps):
-        if i < p1:
+        if device_synth and in_phase1 and i >= p1:
+            if float(loss) < phase1_exit_loss:
+                in_phase1 = False
+                log_fn(f"whisper: alignment locked (CE "
+                       f"{float(loss):.3f}) — switching to fresh "
+                       f"synthesis at step {i}")
+            elif i >= p1_cap:
+                in_phase1 = False
+                log_fn(f"whisper: phase-1 cap {p1_cap} reached at CE "
+                       f"{float(loss):.3f} — switching anyway")
+        if not device_synth or in_phase1:
             audio, n_frames, tok_in, tgt, tgt_mask = sample_batch(rng)
         else:
             audio, n_frames, tok_in, tgt, tgt_mask = sample_fresh(rng, i)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(audio), jnp.asarray(n_frames),
             jnp.asarray(tok_in), jnp.asarray(tgt), jnp.asarray(tgt_mask))
-        if (i + 1) % max(steps // 10, 1) == 0:
-            phase = "p1-corpus" if i < p1 else "p2-fresh"
+        if (i + 1) % max(steps // 20, 1) == 0:
+            phase = "p1-corpus" if (not device_synth or in_phase1) \
+                else "p2-fresh"
             log_fn(f"whisper step {i + 1}/{steps} [{phase}]: "
                    f"loss={float(loss):.4f}")
 

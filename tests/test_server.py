@@ -215,8 +215,10 @@ class TestWsSoak:
         solo = asyncio.run(soak.run_soak(model, audio, sr, n_sessions=1,
                                          pace_s=0.0))[0]
         assert solo["status"]["type"] == "status", solo["status"]
-        # concurrent warmup: coalesced microbatch row-rung programs only
-        # compile under concurrency, never in a solo session
+        # deterministic grid prewarm + concurrent pass: coalesced
+        # microbatch row-rung programs only compile under concurrency,
+        # and which combos a live run visits depends on flush timing
+        model.prewarm_streaming(max_sessions=8)
         asyncio.run(soak.run_soak(model, audio, sr, n_sessions=8,
                                   pace_s=0.0))
         before = compile_counter.count()
