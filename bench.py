@@ -51,7 +51,11 @@ def enable_compile_cache():
         os.path.dirname(os.path.abspath(__file__)), "jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.05 s (was 1.0): the build phase issues ~60 sub-second compiles
+    # (fast_init param-construction programs, small helpers) totalling
+    # ~40 s that a 1.0 s threshold re-compiles on EVERY cold start —
+    # caching them turns that 40 s into local-disk cache reads.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
     n = len(os.listdir(cache_dir))
     log(f"compile cache: {cache_dir} ({n} entries)")
     return cache_dir

@@ -24,7 +24,11 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
                  or os.path.expanduser("~/.cache/targetdiarization_tpu/jax"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.05 s: build-phase param-construction programs compile in
+    # 0.3-0.9 s each (~60 of them, ~40 s total) — below a 1.0 s
+    # threshold they re-compile on every cold start instead of hitting
+    # the local-disk cache (round-5 cold-start profile, bench.py).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
     return cache_dir
 
 

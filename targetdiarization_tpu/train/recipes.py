@@ -1817,7 +1817,8 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
                       ffn: int = 512, phase1_steps: int | None = None,
                       device_synth: bool = False,
                       init_from: str | None = None, aug_frac: float = 0.0,
-                      denoiser_dir: str = "checkpoints/den-bootstrap") -> dict:
+                      denoiser_dir: str = "checkpoints/den-bootstrap",
+                      peak_lr: float = 1e-3) -> dict:
     """Train the Whisper-style enc-dec ASR on the synthetic language
     (teacher-forced CE; greedy-decode CER on held-out utterances) —
     fills the reference's whisper_v2/v3/finetune engine slots
@@ -1905,7 +1906,7 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
                             jnp.ones((1, t_frames)),
                             jnp.zeros((1, u), jnp.int32))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, 1e-3, warmup_steps=min(100, steps // 10 + 1),
+        0.0, peak_lr, warmup_steps=min(100, steps // 10 + 1),
         decay_steps=max(steps, 2))
     opt = optax.adamw(sched, weight_decay=1e-4)
     opt_state = opt.init(params)

@@ -186,3 +186,70 @@ class TestForceAlign:
         err = [abs((s + e) / 2 - (ts_[0] + ts_[1]) / 2 * 0.001)
                for (s, e), ts_ in zip(ranges, ts)]
         assert float(np.mean(err)) < 0.30, err
+
+
+class TestWhisperVariants:
+    """Per-variant regression for the three real Whisper engines
+    (reference ships whisper_v2/v3/finetune as distinct engines,
+    ASRProcessor.py:229-252). Each test loads its own checkpoint dir —
+    no fallback — and holds a CER ceiling on fresh held-out synthetic
+    utterances. Ceilings leave ~2× slack over the training run's
+    measured eval (metrics.json in each checkpoint dir)."""
+
+    def _cer_for(self, name, n_utts=12, seed=20260821, preprocess=False):
+        import pathlib
+
+        ckpt = (pathlib.Path(__file__).resolve().parent.parent
+                / "checkpoints" / name)
+        if not (ckpt / "model.json").exists():
+            pytest.skip(f"{name} not present")
+        from targetdiarization_tpu.models.whisper_style import (
+            WhisperStyleEngine)
+        from targetdiarization_tpu.train.synth import (
+            cer, random_text, synth_utterance)
+
+        eng = WhisperStyleEngine.from_pretrained(str(ckpt))
+        gen = np.random.default_rng(seed)
+        cers = []
+        for _ in range(n_utts):
+            text = random_text(gen, 2, 10)
+            audio, _ = synth_utterance(text, gen)
+            res = eng.asr_detection(audio)[0]
+            cers.append(cer(text, res["text"]))
+        return float(np.mean(cers)), float(np.mean([c == 0 for c in cers]))
+
+    def test_whisper_v3(self):
+        mean_cer, exact = self._cer_for("whisper-v3")
+        assert mean_cer <= 0.06, f"whisper-v3 CER {mean_cer}"
+        assert exact >= 0.75, f"whisper-v3 exact {exact}"
+
+    def test_whisper_v2(self):
+        mean_cer, exact = self._cer_for("whisper-v2")
+        assert mean_cer <= 0.12, f"whisper-v2 CER {mean_cer}"
+        assert exact >= 0.5, f"whisper-v2 exact {exact}"
+
+    def test_whisper_finetune(self):
+        mean_cer, exact = self._cer_for("whisper-finetune")
+        assert mean_cer <= 0.06, f"whisper-finetune CER {mean_cer}"
+        assert exact >= 0.75, f"whisper-finetune exact {exact}"
+
+    def test_variants_are_distinct_checkpoints(self):
+        """All three dirs exist and hold distinct weights (the round-4
+        gap: three names routed onto one fallback checkpoint)."""
+        import pathlib
+
+        root = (pathlib.Path(__file__).resolve().parent.parent
+                / "checkpoints")
+        dirs = [root / n for n in
+                ("whisper-v2", "whisper-v3", "whisper-finetune")]
+        if not all(d.exists() for d in dirs):
+            pytest.skip("whisper variant checkpoints not all present")
+        from targetdiarization_tpu.runtime.params import load_checkpoint
+
+        sums = []
+        for d in dirs:
+            params, _ = load_checkpoint(str(d))
+            leaves = jax.tree_util.tree_leaves(params)
+            sums.append(float(sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                                  for l in leaves)))
+        assert len(set(sums)) == 3, f"variant weights not distinct: {sums}"
