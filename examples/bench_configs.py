@@ -132,9 +132,14 @@ def main():
                 pass
             return times, m.get("emission_s", [])
 
-        # warmup one session
+        # warmup: deterministic microbatch (bucket × row-rung) sweep —
+        # 8 coalescing sessions hit row rungs a solo warm session never
+        # touches — then one solo session for the host-side paths
+        if hasattr(model, "prewarm_streaming"):
+            model.prewarm_streaming(max_sessions=8)
         run_session(0)
         lat.clear()
+        emis.clear()
         with ThreadPoolExecutor(max_workers=8) as ex:
             for times, em in ex.map(run_session, range(8)):
                 lat.extend(times)

@@ -64,6 +64,28 @@ def main():
     print(f"  ref: { {k: v for k, v in sorted(ref.items())} }")
     print(f"  hyp: { {k: v for k, v in sorted(hyp0.items())} }")
 
+    if "--backtrack" in sys.argv:
+        # onset back-extension sweep (thresholds × horizon); the global
+        # onset/offset/pad sweep below showed base is locally optimal,
+        # so only the backtrack dimension is explored here
+        grid = [(bt, btmax) for bt in (0.2, 0.25, 0.3, 0.35, 0.4)
+                for btmax in (0.25, 0.35)]
+        best = (d0, d25, "base", base)
+        for bt, btmax in grid:
+            cfg = dz.BinarizeConfig()
+            cfg.onset_backtrack, cfg.backtrack_max = bt, btmax
+            c25, c0, hyp = run(cfg)
+            tag = ""
+            if c25 <= d25 + 1e-9 and (c0, c25) < (best[0], best[1]):
+                best = (c0, c25, f"bt={bt} btmax={btmax}", cfg)
+                tag = "  <-- best"
+            print(f"bt={bt} btmax={btmax}: collar0.25={c25:.4f} "
+                  f"collar0={c0:.4f}{tag}", flush=True)
+            print(f"  hyp: {dict(sorted(hyp.items()))}", flush=True)
+        print(f"\nBEST: {best[2]} collar0={best[0]:.4f} "
+              f"collar0.25={best[1]:.4f}")
+        return
+
     grid = itertools.product(
         [0.4, 0.5, 0.6],            # onset
         [0.25, 0.35, 0.45],         # offset
@@ -83,7 +105,7 @@ def main():
             best = (c0, c25, f"on={onset} off={offset} pad={pad}", cfg)
             tag = "  <-- best"
         print(f"on={onset} off={offset} pad={pad}: "
-              f"collar0.25={c25:.4f} collar0={c0:.4f}{tag}")
+              f"collar0.25={c25:.4f} collar0={c0:.4f}{tag}", flush=True)
 
     print(f"\nBEST: {best[2]} collar0={best[0]:.4f} collar0.25={best[1]:.4f}")
 

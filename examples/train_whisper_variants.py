@@ -36,7 +36,7 @@ def train_v3() -> dict:
     # default: the round-5 first attempt at 1e-3 sat at CE≈3.1 through
     # the (then-fixed) phase switch and never recovered.
     m = bootstrap_whisper(
-        steps=20000, batch=16, phase1_steps=4000, device_synth=True,
+        steps=16000, batch=16, phase1_steps=4000, device_synth=True,
         dim=256, enc_layers=6, dec_layers=3, ffn=1024, peak_lr=5e-4,
         eval_utts=60, checkpoint_dir="checkpoints/whisper-v3", seed=0)
     _save_metrics(m)
@@ -61,7 +61,7 @@ def train_v2() -> dict:
     # Compact variant at the round-3 bootstrap geometry, retrained with
     # the loss-gated curriculum and longer phase 2.
     m = bootstrap_whisper(
-        steps=18000, batch=16, phase1_steps=4000, device_synth=True,
+        steps=14000, batch=16, phase1_steps=4000, device_synth=True,
         dim=128, enc_layers=3, dec_layers=2, ffn=512, peak_lr=1e-3,
         eval_utts=60, checkpoint_dir="checkpoints/whisper-v2", seed=2)
     _save_metrics(m)

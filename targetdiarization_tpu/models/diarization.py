@@ -125,11 +125,49 @@ def activations_to_diarization(act: np.ndarray, fps: float,
         threshold_off=cfg.offset,
         max_end_silence_time=0.0,
         min_speech_duration=0.0,
-        speech_pad=cfg.speech_pad,
+        speech_pad=0.0,  # asymmetric pads applied below
     )
+    pad_on = cfg.pad_onset if cfg.pad_onset is not None else cfg.speech_pad
+    pad_off = (cfg.pad_offset if cfg.pad_offset is not None
+               else cfg.speech_pad)
     result = {}
+    bt = cfg.onset_backtrack
+    bt_max = int(round(cfg.backtrack_max * fps))
     for k in range(act.shape[1]):
-        segs = segment_probs(act[:, k], vcfg, fps=fps)
+        track = act[:, k]
+        segs = segment_probs(track, vcfg, fps=fps)
+        # (2) asymmetric boundary padding (pyannote pad_onset/pad_offset)
+        for seg in segs:
+            seg[0] = max(seg[0] - pad_on, 0.0)
+            seg[1] = seg[1] + pad_off
+        # merge overlaps the padding may have created
+        merged = []
+        for s, e in segs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        segs = merged
+        # (1b) onset back-extension: a slot joining over an already-
+        # active voice ramps slowly (the fixture's overlap onset is
+        # detected ~0.22 s late at threshold 0.5, the dominant no-collar
+        # DER term). Globally lowering `onset` sprays spurious segments
+        # (sweep: DER 0.029 → 0.17-0.30); instead, walk each CONFIRMED
+        # segment's start backward while the activation stays above the
+        # lower `onset_backtrack` level — recovers the ramp without
+        # creating segments. Only existing onsets move, only earlier.
+        if bt > 0.0 and bt_max > 0:
+            prev_end_f = -1
+            for seg in segs:
+                f_on = int(round((seg[0] + pad_on) * fps))
+                f_on = min(max(f_on, 0), len(track) - 1)
+                f_new = f_on
+                while (f_new - 1 > prev_end_f and f_on - f_new < bt_max
+                       and f_new - 1 >= 0 and track[f_new - 1] >= bt):
+                    f_new -= 1
+                if f_new < f_on:
+                    seg[0] = max(f_new / fps - pad_on, 0.0)
+                prev_end_f = int(round((seg[1] - pad_off) * fps))
         # (3) fill short gaps between onset-confirmed segments
         filled = []
         for s, e in segs:
@@ -160,8 +198,28 @@ class BinarizeConfig:
     # outward boundary padding (pyannote Binarize pad_onset/pad_offset):
     # the onset threshold systematically trims the attack of the first
     # phoneme — measured ~0.04-0.12 s late starts on the fixture, which
-    # cost the first character of short ASR segments
+    # cost the first character of short ASR segments. `speech_pad` is
+    # the symmetric default; pad_onset/pad_offset override per side
+    # (the offset side systematically overshoots the true end by
+    # ~0.04 s on the fixture, a pure false-alarm term at collar 0)
+    # Calibrated at collar 0 against the reference's own chat_mix
+    # output (examples/calibrate_binarize.py): the onset side lags
+    # structurally (40 ms seg frames + transformer smoothing — every
+    # onset fires late, the overlap onset worst), the offset side
+    # overshoots ~0.04 s. 0.14/0.06 took no-collar pipeline DER
+    # 0.0294 → 0.0176 with collar-0.25 staying 0.000.
     speech_pad: float = 0.1
+    pad_onset: float | None = 0.14
+    pad_offset: float | None = 0.06
+    # onset back-extension (see activations_to_diarization step 1b):
+    # confirmed onsets walk backward while the activation stays above
+    # this level, up to backtrack_max seconds. 0.0 disables. Calibrated
+    # per examples/calibrate_binarize.py --backtrack on the fixture:
+    # every bt in [0.2, 0.35] recovers the same 0.04 s of the late
+    # overlap onset (collar-0 DER 0.0294 → 0.0260) with collar-0.25
+    # staying 0.000; 0.2/0.25 is the least aggressive such setting.
+    onset_backtrack: float = 0.2
+    backtrack_max: float = 0.25
 
 
 class SegmentationEngine:

@@ -552,12 +552,12 @@ class TargetDiarization:
         jobs = []
         if self.fused is not None:
             n = max(int(n_samples), 1600)
-            jobs.append(lambda: self.fused.analyze(
-                np.zeros(n, np.float32)))
+            jobs.append(("analyze", lambda: self.fused.analyze(
+                np.zeros(n, np.float32))))
             if target_samples:
                 te = max(int(target_samples), 1600)
-                jobs.append(lambda: self.fused.enroll(
-                    np.zeros(te, np.float32)))
+                jobs.append(("enroll", lambda: self.fused.enroll(
+                    np.zeros(te, np.float32))))
         if self.fused_asr is not None and self.fused is not None:
             from .fused import _LADDER
 
@@ -571,15 +571,22 @@ class TargetDiarization:
                 self.fused_asr.transcribe_masked(
                     dev, bucket, [[(0.0, 0.5)]] * n_spk)
 
-            jobs.append(warm_asr)
+            jobs.append(("asr", warm_asr))
         fsep = self.tasr._fused_separation()
         if fsep is not None:
-            jobs.append(lambda: fsep.separate_score(
-                [np.zeros(16000, np.float32)]))
+            jobs.append(("separate", lambda: fsep.separate_score(
+                [np.zeros(16000, np.float32)])))
+
+        def timed(j):
+            jt = _time.time()
+            j()
+            return _time.time() - jt
+
         with ThreadPoolExecutor(max_workers=max(len(jobs), 1)) as ex:
-            for f in [ex.submit(j) for j in jobs]:
+            futs = [ex.submit(timed, j) for _, j in jobs]
+            for (name, _), f in zip(jobs, futs):
                 try:
-                    f.result()
+                    self._log(f"prewarm[{name}]: {f.result():.1f}s")
                 except Exception as e:  # a failed warm only delays, never breaks
                     self._log(f"prewarm job failed (ignored): {e}")
         return _time.time() - t0
@@ -819,8 +826,22 @@ class TargetDiarization:
         # snap boundaries to the audio edges when the residual gap is
         # tiny (a 0.2 s trailing trim cost the last character of short
         # utterances; VAD post-processing in the reference absorbs such
-        # gaps via max_end_silence_time)
+        # gaps via max_end_silence_time). When fused VAD probabilities
+        # are available, snap to the VAD-OBSERVED speech span instead of
+        # the raw file edges: the FSMN VAD is frame-accurate at 10 ms,
+        # and snapping a leading/trailing boundary to 0/dur charges a
+        # false alarm for every silent sample at the edges (~0.006
+        # no-collar DER on the fixture).
         dur = round(len(audio_data) / sampling_rate, 3)
+        lo, hi = 0.0, dur
+        if fr is not None and fr.get("vad_probs") is not None:
+            from ..models.vad import VADConfig, segment_probs
+
+            spans = segment_probs(np.asarray(fr["vad_probs"]),
+                                  VADConfig(speech_pad=0.0))
+            if spans:
+                lo = min(max(spans[0][0], 0.0), dur)
+                hi = max(min(spans[-1][1], dur), lo)
         snap = 0.3
         out = {}
         for k, v in sd.items():
@@ -830,9 +851,9 @@ class TargetDiarization:
                     continue
                 e = min(e, dur)
                 if s < snap:
-                    s = 0.0
+                    s = min(lo, s + snap)
                 if dur - e < snap:
-                    e = dur
+                    e = max(hi, e - snap)
                 ranges.append((s, e))
             if ranges:
                 out[k] = ranges

@@ -354,7 +354,9 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
                            seed: int = 0, log_fn=print,
                            boundary_weight: float = 0.0,
                            boundary_frames: int = 3,
-                           slot_gain: bool = False) -> dict:
+                           slot_gain: bool = False,
+                           init_from: str | None = None,
+                           lr: float = 1e-3) -> dict:
     """Train the SegmentationNet on synthetic multi-slot scenes: random
     speech crops from the two fixture voices placed on a timeline with
     known per-slot activity → multilabel BCE. Gives working overlap
@@ -421,10 +423,19 @@ def bootstrap_segmentation(steps: int = 300, batch: int = 8,
             audio += rng.standard_normal(n).astype(np.float32) * 0.005
         return audio, act
 
-    variables = model.init(jax.random.PRNGKey(seed),
-                           jnp.zeros((1, t_frames, 80)),
-                           jnp.array([t_frames]))
-    opt = optax.adam(1e-3)
+    if init_from:
+        # boundary-sharpening fine-tune: keep the shipped checkpoint's
+        # segment structure (from-scratch retrains lose it — round-5
+        # DER-gated candidates all regressed 0.029 → 0.22+) and only
+        # push the transition frames with the weighted loss at low lr
+        from ..runtime.params import load_checkpoint
+
+        variables, _ = load_checkpoint(init_from)
+    else:
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, t_frames, 80)),
+                               jnp.array([t_frames]))
+    opt = optax.adam(lr)
     opt_state = opt.init(variables)
 
     from itertools import permutations
@@ -1818,7 +1829,8 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
                       device_synth: bool = False,
                       init_from: str | None = None, aug_frac: float = 0.0,
                       denoiser_dir: str = "checkpoints/den-bootstrap",
-                      peak_lr: float = 1e-3) -> dict:
+                      peak_lr: float = 1e-3,
+                      fresh_source: str = "host") -> dict:
     """Train the Whisper-style enc-dec ASR on the synthetic language
     (teacher-forced CE; greedy-decode CER on held-out utterances) —
     fills the reference's whisper_v2/v3/finetune engine slots
@@ -1933,11 +1945,6 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
     if device_synth:
         import os as _os
 
-        from .synth import BOOT_CHARS
-        from .synth_device import add_noise, render_batch
-
-        boot2tok = np.asarray(tok.encode(BOOT_CHARS), np.int32)
-
         # preprocess-chain augmentation (whisper_finetune variant): the
         # first aug_frac of each fresh batch runs through the pipeline's
         # exact preprocess graph (loudness → MDX denoise → loudness →
@@ -1950,23 +1957,72 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
 
             den_eng = DenoiseEngine.from_pretrained(denoiser_dir)
         dn_p = den_eng._params_c if den_eng is not None else None
+        _pre = None
+        if den_eng is not None:
+            from ..models.denoise import denoise_chain_16k
+            from ..pipeline.fused import _masked_loudness_normalize
+
+            def _pre(a, nv):
+                a = _masked_loudness_normalize(a, 16000, nv)
+                valid = (jnp.arange(n) < nv).astype(jnp.float32)
+                a = denoise_chain_16k(den_eng, dn_p, a, n) * valid
+                a = _masked_loudness_normalize(a, 16000, nv)
+                q = jnp.clip(jnp.round(a * 32768.0), -32768, 32767)
+                return q / 32768.0
+
+    if device_synth and fresh_source == "host":
+        # HOST fresh synthesis: a brand-new pool.utterance batch per
+        # step (~1 ms/utt — negligible next to the device step). This
+        # is the SAME distribution phase 1's finite corpus and the
+        # held-out eval are drawn from, so the phase-2 transition
+        # carries zero distribution shift — only unseen samples.
+        # Round-5 lesson: the device-rendered fresh path
+        # (synth_device.render_batch) differs acoustically enough that
+        # the 256-dim v3 collapsed back to the unigram prior at
+        # p_fresh→1.0 even with a blended ramp; the 128-dim survived it
+        # in round 3, the larger model did not.
+        pre_batch_jit = (jax.jit(jax.vmap(_pre))
+                         if (n_aug > 0 and _pre is not None) else None)
+
+        def sample_fresh(gen, step_i):
+            audios = np.zeros((batch, n), np.float32)
+            n_valid = np.ones(batch, np.int32)
+            n_frames = np.ones(batch, np.int32)
+            tok_in = np.full((batch, u), eos, np.int32)
+            tgt = np.full((batch, u), eos, np.int32)
+            tgt_mask = np.zeros((batch, u), np.float32)
+            for b in range(batch):
+                text = random_text(gen, 2, max_chars)
+                snr = (float(gen.uniform(12, 35))
+                       if gen.random() < 0.5 else None)
+                audio, _ = pool.utterance(text, gen, noise_snr_db=snr)
+                audio = audio[:n]
+                ids = tok.encode(text)
+                audios[b, : len(audio)] = audio
+                n_valid[b] = len(audio)
+                n_frames[b] = max(features.num_frames(len(audio)), 1)
+                tok_in[b, 0] = sos
+                tok_in[b, 1: 1 + len(ids)] = ids
+                tgt[b, : len(ids)] = ids
+                tgt[b, len(ids)] = eos
+                tgt_mask[b, : len(ids) + 1] = 1.0
+            if pre_batch_jit is not None:
+                aug = pre_batch_jit(jnp.asarray(audios[:n_aug]),
+                                    jnp.asarray(n_valid[:n_aug]))
+                audios[:n_aug] = np.asarray(aug)
+            return audios, n_frames, tok_in, tgt, tgt_mask
+
+    elif device_synth:
+        from .synth import BOOT_CHARS
+        from .synth_device import add_noise, render_batch
+
+        boot2tok = np.asarray(tok.encode(BOOT_CHARS), np.int32)
 
         def synth_graph(key, boot_idx, n_chars):
             k1, k2 = jax.random.split(key)
             r = render_batch(k1, boot_idx, n_chars, n)
             audio = add_noise(k2, r["audio"], r["n_valid"])
-            if n_aug > 0 and den_eng is not None:
-                from ..models.denoise import denoise_chain_16k
-                from ..pipeline.fused import _masked_loudness_normalize
-
-                def _pre(a, nv):
-                    a = _masked_loudness_normalize(a, 16000, nv)
-                    valid = (jnp.arange(n) < nv).astype(jnp.float32)
-                    a = denoise_chain_16k(den_eng, dn_p, a, n) * valid
-                    a = _masked_loudness_normalize(a, 16000, nv)
-                    q = jnp.clip(jnp.round(a * 32768.0), -32768, 32767)
-                    return q / 32768.0
-
+            if n_aug > 0 and _pre is not None:
                 aug = jax.vmap(_pre)(audio[:n_aug], r["n_valid"][:n_aug])
                 audio = jnp.concatenate([aug, audio[n_aug:]], axis=0)
             nv = r["n_valid"]
@@ -2000,33 +2056,48 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
     # cross-attention alignment has locked strands the model at the
     # unigram prior forever (fresh synthesis can't re-lock it) — gate
     # the phase-2 switch on CE actually having dropped, with a hard cap
-    # so a failed run still terminates. Round-5 lesson: the 256-dim v3
-    # run hit the fixed p1=4000 switch at CE≈3.1 and never recovered.
+    # so a failed run still terminates. Round-5 lessons: (a) the 256-dim
+    # v3 run hit the fixed p1=4000 switch at CE≈3.1 and never recovered
+    # → loss gate; (b) even gated (switch at CE 1.46), an ABRUPT 0→100%
+    # swap to fresh synthesis collapsed the 256-dim model back to the
+    # prior (CE 3.0-3.15 for 7k steps, rising) — catastrophic forgetting
+    # under distribution shift. The transition is therefore a RAMP: the
+    # fresh-batch fraction grows linearly over `ramp_steps` after
+    # alignment locks, so corpus batches keep anchoring the alignment
+    # while the model adapts to the fresh distribution.
     phase1_exit_loss = 1.5
+    ramp_steps = max(steps // 6, 1000)
     p1_cap = min(max(p1 * 3, p1 + 6000), steps) if device_synth else p1
     in_phase1 = p1 > 0
+    ramp_start = None
     loss = jnp.float32(999.0)
     for i in range(steps):
         if device_synth and in_phase1 and i >= p1:
             if float(loss) < phase1_exit_loss:
                 in_phase1 = False
+                ramp_start = i
                 log_fn(f"whisper: alignment locked (CE "
-                       f"{float(loss):.3f}) — switching to fresh "
-                       f"synthesis at step {i}")
+                       f"{float(loss):.3f}) — ramping in fresh "
+                       f"synthesis over {ramp_steps} steps from step {i}")
             elif i >= p1_cap:
                 in_phase1 = False
+                ramp_start = i
                 log_fn(f"whisper: phase-1 cap {p1_cap} reached at CE "
-                       f"{float(loss):.3f} — switching anyway")
-        if not device_synth or in_phase1:
-            audio, n_frames, tok_in, tgt, tgt_mask = sample_batch(rng)
-        else:
+                       f"{float(loss):.3f} — ramping anyway")
+        if device_synth and not in_phase1 and p1 == 0 and ramp_start is None:
+            ramp_start = 0  # init_from fine-tune: no corpus phase at all
+        p_fresh = 0.0 if (not device_synth or in_phase1) else (
+            1.0 if p1 == 0 else min(1.0, (i - ramp_start) / ramp_steps))
+        if rng.random() < p_fresh:
             audio, n_frames, tok_in, tgt, tgt_mask = sample_fresh(rng, i)
+        else:
+            audio, n_frames, tok_in, tgt, tgt_mask = sample_batch(rng)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(audio), jnp.asarray(n_frames),
             jnp.asarray(tok_in), jnp.asarray(tgt), jnp.asarray(tgt_mask))
         if (i + 1) % max(steps // 20, 1) == 0:
             phase = "p1-corpus" if (not device_synth or in_phase1) \
-                else "p2-fresh"
+                else f"p2-fresh={p_fresh:.2f}"
             log_fn(f"whisper step {i + 1}/{steps} [{phase}]: "
                    f"loss={float(loss):.4f}")
 

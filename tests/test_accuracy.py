@@ -34,6 +34,13 @@ GOLDEN_JSON = FIXTURES / "chat_mix_golden.json"
 # true segment ends (models/diarization.py::activations_to_diarization).
 # History: 0.43 → 0.166 (round 2) → 0.020 (round 3) → 0.000 (round 4).
 DER_CEILING = 0.03
+# No-collar ceiling (VERDICT r4 ask 6): the collar hides ~30 ms-scale
+# boundary error, and the no-collar number is the one that moves if
+# segmentation regresses. Round-5 measured 0.0176 after (a) onset
+# back-extension, (b) VAD-evidence edge snapping in offline.py
+# (_segmentation_sd), (c) asymmetric pad_onset/pad_offset calibration —
+# history 0.029 → 0.0260 → 0.0243 → 0.0210 → 0.0176.
+DER_CEILING_NO_COLLAR = 0.02
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +77,16 @@ class TestDiarizationAccuracy:
         hyp = _to_ranges(served_output["results"])
         d = der(ref, hyp)
         assert d <= DER_CEILING, f"DER {d:.3f} > ceiling {DER_CEILING}"
+
+    def test_der_no_collar_under_ceiling(self, served_output):
+        from targetdiarization_tpu.train.eval_metrics import der
+
+        gt = json.loads(REFERENCE_JSON.read_text())
+        ref = _to_ranges(gt["results"])
+        hyp = _to_ranges(served_output["results"])
+        d = der(ref, hyp, collar=0.0)
+        assert d <= DER_CEILING_NO_COLLAR, (
+            f"no-collar DER {d:.3f} > ceiling {DER_CEILING_NO_COLLAR}")
 
     def test_speech_coverage(self, served_output):
         """Hypothesis must cover most of the reference speech span and
