@@ -32,11 +32,17 @@ def _save_metrics(metrics: dict) -> None:
 
 
 def train_v3() -> dict:
-    # Large variant. 256-dim needs a gentler peak LR than the 128-dim
-    # default: the round-5 first attempt at 1e-3 sat at CE≈3.1 through
-    # the (then-fixed) phase switch and never recovered.
+    # Large variant. Three round-5 lessons baked in: gentler peak LR
+    # than the 128-dim default (1e-3 sat at CE≈3.1 forever); NO fresh-
+    # synthesis phase (the 256-dim model memorizes the corpus verbatim
+    # and any fresh-batch phase collapses it to the unigram prior, even
+    # through a blended ramp and with host-synth batches); instead a 4×
+    # corpus with per-draw noise+gain augmentation (corpus_noise=
+    # "fresh") so verbatim memorization is impossible and the loss can
+    # only drop via transcription.
     m = bootstrap_whisper(
-        steps=16000, batch=16, phase1_steps=4000, device_synth=True,
+        steps=14000, batch=16, device_synth=False,
+        n_corpus=8000, corpus_noise="fresh",
         dim=256, enc_layers=6, dec_layers=3, ffn=1024, peak_lr=5e-4,
         eval_utts=60, checkpoint_dir="checkpoints/whisper-v3", seed=0)
     _save_metrics(m)

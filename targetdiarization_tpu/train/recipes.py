@@ -1830,7 +1830,9 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
                       init_from: str | None = None, aug_frac: float = 0.0,
                       denoiser_dir: str = "checkpoints/den-bootstrap",
                       peak_lr: float = 1e-3,
-                      fresh_source: str = "host") -> dict:
+                      fresh_source: str = "host",
+                      n_corpus: int = 2000,
+                      corpus_noise: str = "fixed") -> dict:
     """Train the Whisper-style enc-dec ASR on the synthetic language
     (teacher-forced CE; greedy-decode CER on held-out utterances) —
     fills the reference's whisper_v2/v3/finetune engine slots
@@ -1876,12 +1878,23 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
     # overfits a fixed batch to CE 0.002 in 400). Epochs over a finite
     # set let alignment emerge; held-out eval below still uses fresh
     # synthesis.
-    n_corpus = 2000
+    #
+    # corpus_noise="fresh" (round 5): store CLEAN audio and inject a
+    # NEW noise realization + gain per draw. With noise baked in
+    # ("fixed"), a large model memorizes the exact waveforms — the
+    # 256-dim v3 hit corpus CE 1.28 with fresh-sample CE still at the
+    # ≈3.0 prior, and any fresh-batch phase then collapsed it (pure
+    # memorization has no gradient path to generalization). Per-draw
+    # augmentation makes verbatim memorization impossible, so the only
+    # way down in loss is transcription.
     corpus = []
     for _ in range(n_corpus):
         text = random_text(rng, 2, max_chars)
-        snr = float(rng.uniform(12, 35)) if rng.random() < 0.5 else None
-        audio, _ = pool.utterance(text, rng, noise_snr_db=snr)
+        if corpus_noise == "fresh":
+            audio, _ = pool.utterance(text, rng)  # clean; noise per draw
+        else:
+            snr = float(rng.uniform(12, 35)) if rng.random() < 0.5 else None
+            audio, _ = pool.utterance(text, rng, noise_snr_db=snr)
         corpus.append((audio[:n], tok.encode(text)))
 
     def sample_batch(gen):
@@ -1892,6 +1905,14 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
         tgt_mask = np.zeros((batch, u), np.float32)
         for b in range(batch):
             audio, ids = corpus[int(gen.integers(n_corpus))]
+            if corpus_noise == "fresh":
+                audio = audio * float(gen.uniform(0.5, 1.2))
+                if gen.random() < 0.7:
+                    snr_db = float(gen.uniform(8, 35))
+                    rms = float(np.sqrt(np.mean(audio**2)) + 1e-9)
+                    noise = gen.standard_normal(len(audio)).astype(
+                        np.float32) * (rms / (10 ** (snr_db / 20)))
+                    audio = audio + noise
             audios[b, : len(audio)] = audio
             # true frame count: train with the same padded-bucket masks
             # inference uses (mask parity — see whisper_style.enc_mask)
