@@ -32,18 +32,20 @@ def _save_metrics(metrics: dict) -> None:
 
 
 def train_v3() -> dict:
-    # Large variant. Three round-5 lessons baked in: gentler peak LR
-    # than the 128-dim default (1e-3 sat at CE≈3.1 forever); NO fresh-
-    # synthesis phase (the 256-dim model memorizes the corpus verbatim
-    # and any fresh-batch phase collapses it to the unigram prior, even
-    # through a blended ramp and with host-synth batches); instead a 4×
-    # corpus with per-draw noise+gain augmentation (corpus_noise=
-    # "fresh") so verbatim memorization is impossible and the loss can
-    # only drop via transcription.
+    # Large variant — scaled by DEPTH at width 128 (6+3 layers, ffn
+    # 768 ≈ 2× the v2 parameter count). The 256-wide regime failed
+    # every round-5 curriculum: (i) fixed corpus locks alignment only
+    # by memorizing waveforms verbatim (corpus CE 1.28, fresh CE at the
+    # 3.0 prior) and any fresh-batch phase then collapses it, through a
+    # blended ramp, from either the device renderer or the host
+    # synthesizer; (ii) per-draw noise augmentation prevents the
+    # memorization but then alignment never locks at all (CE 2.4 at
+    # 9k steps — the known fresh-batch pathology). Width 128 both locks
+    # AND generalizes (v2: phase-2 fresh CE 0.007, eval CER 0.025), so
+    # v3 takes the working recipe and adds capacity where it is safe.
     m = bootstrap_whisper(
-        steps=14000, batch=16, device_synth=False,
-        n_corpus=8000, corpus_noise="fresh",
-        dim=256, enc_layers=6, dec_layers=3, ffn=1024, peak_lr=5e-4,
+        steps=16000, batch=16, phase1_steps=4000, device_synth=True,
+        dim=128, enc_layers=6, dec_layers=3, ffn=768, peak_lr=1e-3,
         eval_utts=60, checkpoint_dir="checkpoints/whisper-v3", seed=0)
     _save_metrics(m)
     return m
@@ -55,7 +57,7 @@ def train_finetune() -> dict:
     # preprocess chain (loudness → MDX denoise → loudness → int16).
     m = bootstrap_whisper(
         steps=6000, batch=16, phase1_steps=0, device_synth=True,
-        dim=256, enc_layers=6, dec_layers=3, ffn=1024, peak_lr=2e-4,
+        dim=128, enc_layers=6, dec_layers=3, ffn=768, peak_lr=2e-4,
         init_from="checkpoints/whisper-v3", aug_frac=0.25,
         eval_utts=60, checkpoint_dir="checkpoints/whisper-finetune",
         seed=1)
