@@ -32,21 +32,26 @@ def _save_metrics(metrics: dict) -> None:
 
 
 def train_v3() -> dict:
-    # Large variant — scaled by DEPTH at width 128 (6+3 layers, ffn
-    # 768 ≈ 2× the v2 parameter count). The 256-wide regime failed
-    # every round-5 curriculum: (i) fixed corpus locks alignment only
-    # by memorizing waveforms verbatim (corpus CE 1.28, fresh CE at the
-    # 3.0 prior) and any fresh-batch phase then collapses it, through a
-    # blended ramp, from either the device renderer or the host
-    # synthesizer; (ii) per-draw noise augmentation prevents the
-    # memorization but then alignment never locks at all (CE 2.4 at
-    # 9k steps — the known fresh-batch pathology). Width 128 both locks
-    # AND generalizes (v2: phase-2 fresh CE 0.007, eval CER 0.025), so
-    # v3 takes the working recipe and adds capacity where it is safe.
+    # Larger variant in the CONVERGING regime: 128/3+2 with ffn 640 and
+    # a longer run than v2. Scaling width (256) or depth (6+3) failed
+    # every round-5 curriculum on this synthetic task: a larger model
+    # locks phase-1 alignment only by memorizing the finite corpus
+    # verbatim (corpus CE ~1.27, fresh CE at the 3.0 unigram prior),
+    # and ANY fresh-batch phase then collapses it — through a blended
+    # ramp, from either the device renderer or the host synthesizer;
+    # per-draw noise augmentation prevents the memorization but then
+    # alignment never locks at all (CE 2.4 at 9k steps). The 128/3+2
+    # geometry both locks AND generalizes (v2: phase-2 fresh CE 0.007),
+    # so v3 adds capacity where it is safe (ffn) and trains longer.
+    # exit gate 0.5 (not the default 1.5): v2 exited phase 1 at corpus
+    # CE ~0.36 and generalized instantly; a seed-7 ffn-640 run exited
+    # at 1.08 and crawled at fresh CE 2.2+ — ramping before the corpus
+    # is deeply converged strands the model
     m = bootstrap_whisper(
-        steps=16000, batch=16, phase1_steps=4000, device_synth=True,
-        dim=128, enc_layers=6, dec_layers=3, ffn=768, peak_lr=1e-3,
-        eval_utts=60, checkpoint_dir="checkpoints/whisper-v3", seed=0)
+        steps=15000, batch=16, phase1_steps=4000, device_synth=True,
+        phase1_exit_loss=0.5,
+        dim=128, enc_layers=3, dec_layers=2, ffn=640, peak_lr=1e-3,
+        eval_utts=60, checkpoint_dir="checkpoints/whisper-v3", seed=2)
     _save_metrics(m)
     return m
 
@@ -56,8 +61,8 @@ def train_finetune() -> dict:
     # of every fresh batch routed through the pipeline's exact
     # preprocess chain (loudness → MDX denoise → loudness → int16).
     m = bootstrap_whisper(
-        steps=6000, batch=16, phase1_steps=0, device_synth=True,
-        dim=128, enc_layers=6, dec_layers=3, ffn=768, peak_lr=2e-4,
+        steps=4000, batch=16, phase1_steps=0, device_synth=True,
+        dim=128, enc_layers=3, dec_layers=2, ffn=640, peak_lr=2e-4,
         init_from="checkpoints/whisper-v3", aug_frac=0.25,
         eval_utts=60, checkpoint_dir="checkpoints/whisper-finetune",
         seed=1)

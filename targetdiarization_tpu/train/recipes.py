@@ -1832,7 +1832,8 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
                       peak_lr: float = 1e-3,
                       fresh_source: str = "host",
                       n_corpus: int = 2000,
-                      corpus_noise: str = "fixed") -> dict:
+                      corpus_noise: str = "fixed",
+                      phase1_exit_loss: float = 1.5) -> dict:
     """Train the Whisper-style enc-dec ASR on the synthetic language
     (teacher-forced CE; greedy-decode CER on held-out utterances) —
     fills the reference's whisper_v2/v3/finetune engine slots
@@ -2086,7 +2087,6 @@ def bootstrap_whisper(steps: int = 3000, batch: int = 16, seconds: float = 4.0,
     # fresh-batch fraction grows linearly over `ramp_steps` after
     # alignment locks, so corpus batches keep anchoring the alignment
     # while the model adapts to the fresh distribution.
-    phase1_exit_loss = 1.5
     ramp_steps = max(steps // 6, 1000)
     p1_cap = min(max(p1 * 3, p1 + 6000), steps) if device_synth else p1
     in_phase1 = p1 > 0
